@@ -1,0 +1,699 @@
+"""HideAndSeek: 3-pursuer vs 1-evader pursuit-evasion in a cylinder arena.
+
+Pure-JAX port of the reference task
+(omni_drones/envs/hide_and_seek/hideandseek.py:183-1245): k-nearest-cylinder
+observations with −5 mask fill, LoS-blocked detection broadcast, TP-net
+input/target plumbing, the cooperative capture reward with collision/speed/
+smoothness penalties, per-episode stat normalization, the evader-speed
+auto-curriculum, and the fixed evaluation scenarios.
+
+The whole step — CTBR PID transform, drone dynamics with downwash, kinematic
+evader integration, geometry, TP forward, reward, auto-reset with on-device
+scene re-sampling — is one statically-shaped jitted function.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..controllers import PIDRateState
+from ..core import euler_to_quaternion
+from ..dynamics import DroneState, RigidBodyCfg, hover_state, make_params
+from ..dynamics import step as dynamics_step
+from ..learning.tp_net import TPNet, denormalize_predictions, normalize_groundtruth
+from ..transforms.ctbr import hover_prev_action_init, pid_rate_transform
+from .base import Transition, register_env, where_done
+from .geometry import k_nearest_cylinders, line_blocked_by_cylinder
+from .placement import make_grid, sample_cylinders
+from .prey import prey_force, prey_velocity
+from .scenarios import INVALID_Z, scenario_cylinders, scenario_spawns
+
+
+@dataclasses.dataclass(frozen=True)
+class HideAndSeekCfg:
+    """Task hyper-parameters (reference cfg/task/HideAndSeek.yaml)."""
+
+    num_envs: int = 2048
+    max_episode_length: int = 800
+    dt: float = 0.01
+    drone_model: str = "crazyflie"
+    num_agents: int = 3
+    arena_size: float = 0.9
+    max_height: float = 1.2
+    v_drone: float = 1.0
+    v_prey: float = 1.3           # × v_drone (hideandseek.py:263)
+    catch_radius: float = 0.3
+    collision_radius: float = 0.07
+    drone_detect_radius: float = 100.0
+    target_detect_radius: float = 100.0
+    # reward coefficients (HideAndSeek.yaml:41-48)
+    dist_reward_coef: float = 1.0
+    catch_reward_coef: float = 20.0
+    detect_reward_coef: float = 0.0
+    collision_coef: float = 100.0
+    speed_coef: float = 10.0
+    init_smoothness_coef: float = 0.0
+    max_smoothness_coef: float = 5.0
+    smooth_lr: float = 0.0
+    use_deployment: bool = False
+    # cylinders (HideAndSeek.yaml:56-61)
+    cylinder_size: float = 0.1
+    min_cylinders: int = 4
+    max_cylinders: int = 5
+    fixed_cylinders: Optional[int] = None
+    obs_max_cylinder: int = 3
+    # scenario / eval
+    use_random_cylinder: bool = True
+    scenario_flag: str = "wall"
+    use_eval: bool = False
+    # TP net (HideAndSeek.yaml:30-34)
+    use_tp_net: bool = True
+    history_step: int = 10
+    future_prediction_step: int = 5
+    window_step: int = 1
+    use_obstacles_tp: bool = False
+    time_encoding_dim: int = 4
+    mask_value: float = -5.0
+    # evader normalization quirk reproduction (see prey.prey_velocity)
+    prey_componentwise_norm: bool = True
+
+    @property
+    def num_cylinders(self) -> int:
+        return self.max_cylinders
+
+    @property
+    def tp_input_dim(self) -> int:
+        base = 1 + 3 + 3 + 3 * self.num_agents
+        if self.use_obstacles_tp:
+            base += 3 * self.num_cylinders
+        return base
+
+    @property
+    def state_self_dim(self) -> int:
+        if self.use_tp_net:
+            return 3 + 3 * self.future_prediction_step + self.time_encoding_dim + 13
+        return 3 + self.time_encoding_dim + 13
+
+
+STAT_KEYS = (
+    "success",
+    "collision",
+    "blocked",
+    "distance_reward",
+    "distance_predicted_reward",
+    "speed_reward",
+    "collision_reward",
+    "collision_wall",
+    "collision_cylinder",
+    "collision_drone",
+    "detect_reward",
+    "catch_reward",
+    "smoothness_reward",
+    "smoothness_mean",
+    "smoothness_max",
+    "first_capture_step",
+    "sum_detect_step",
+    "return",
+    "action_error_order1_mean",
+    "action_error_order1_max",
+    "target_predicted_error",
+    "out_of_arena",
+    "smoothness_coef",
+)
+
+# stats divided by episode length at done (hideandseek.py:1017-1056)
+_EP_NORMALIZED = (
+    "collision",
+    "action_error_order1_mean",
+    "target_predicted_error",
+    "smoothness_mean",
+    "smoothness_reward",
+    "distance_reward",
+    "detect_reward",
+    "catch_reward",
+    "collision_reward",
+    "collision_wall",
+    "collision_drone",
+    "collision_cylinder",
+    "speed_reward",
+)
+
+
+@struct.dataclass
+class HideAndSeekState:
+    drone: DroneState             # [E, n, ·]
+    pid: PIDRateState             # [E, n, ·]
+    prev_action: jnp.ndarray      # [E, n, 4]
+    target_pos: jnp.ndarray       # [E, 1, 3]
+    target_vel: jnp.ndarray       # [E, 1, 3]
+    cylinders: jnp.ndarray        # [E, C, 3] (inactive parked at z=INVALID_Z)
+    progress: jnp.ndarray         # [E]
+    v_prey: jnp.ndarray           # []  speed curriculum (hideandseek.py:1012-1015)
+    history: jnp.ndarray          # [E, H, F] TP input window
+    stats: Dict[str, jnp.ndarray]
+    update_epoch: jnp.ndarray     # [] smoothness ramp (train_deploy.py:270)
+    key: jnp.ndarray
+    gen: Any = None               # AEG GenBufferState (envgen only)
+
+
+@register_env("HideAndSeek")
+class HideAndSeek:
+    provides_tp = True
+
+    def __init__(self, cfg: HideAndSeekCfg = HideAndSeekCfg()):
+        self.cfg = cfg
+        self.params = make_params(cfg.drone_model)
+        self.rigid_cfg = RigidBodyCfg(max_linear_velocity=cfg.v_drone)
+        self.num_agents = cfg.num_agents
+        self.action_dim = 4
+        self.grid = make_grid(cfg.arena_size, cfg.cylinder_size)
+        self.tp_net = TPNet(
+            output_dim=3 * cfg.future_prediction_step,
+            future_prediction_step=cfg.future_prediction_step,
+            window_step=cfg.window_step,
+        )
+        if not cfg.use_random_cylinder:
+            cyl, n_active = scenario_cylinders(
+                cfg.scenario_flag,
+                cfg.num_cylinders,
+                cfg.cylinder_size,
+                cfg.max_height,
+            )
+            self._scenario_cyl = jnp.asarray(cyl)
+            self._scenario_active = n_active
+            d, t = scenario_spawns(cfg.scenario_flag, cfg.num_agents)
+            self._spawn_drone = jnp.asarray(d)
+            self._spawn_target = jnp.asarray(t)
+
+    @property
+    def num_envs(self) -> int:
+        return self.cfg.num_envs
+
+    # ------------------------------------------------------------- sampling
+    def _sample_scene(self, key: jnp.ndarray):
+        """Spawn poses + cylinder layout for all envs
+        (hideandseek.py:609-708)."""
+        cfg = self.cfg
+        e, n = cfg.num_envs, cfg.num_agents
+        a = cfg.arena_size / np.sqrt(2.0)
+        k_dxy, k_txy, k_dz, k_tz, k_rpy, k_cyl = jax.random.split(key, 6)
+        if cfg.use_random_cylinder and not cfg.use_eval:
+            drone_xy = jax.random.uniform(
+                k_dxy, (e, n, 2),
+                minval=jnp.asarray([0.1, -a + 0.1]),
+                maxval=jnp.asarray([a - 0.1, a - 0.1]),
+            )
+            target_xy = jax.random.uniform(
+                k_txy, (e, 1, 2),
+                minval=jnp.asarray([-a + 0.1, -a + 0.1]),
+                maxval=jnp.asarray([-0.1, a - 0.1]),
+            )
+            drone_z = jax.random.uniform(
+                k_dz, (e, n, 1), minval=cfg.max_height / 2 - 0.1,
+                maxval=cfg.max_height / 2 + 0.1,
+            )
+            target_z = jax.random.uniform(
+                k_tz, (e, 1, 1), minval=cfg.max_height / 2 - 0.1,
+                maxval=cfg.max_height / 2 + 0.1,
+            )
+            drone_pos = jnp.concatenate([drone_xy, drone_z], axis=-1)
+            target_pos = jnp.concatenate([target_xy, target_z], axis=-1)
+        elif cfg.use_random_cylinder:  # eval: fixed spawns (hideandseek.py:618-627)
+            fixed_d = jnp.asarray(
+                [[0.6, 0.0], [0.8, 0.0], [0.8, -0.2], [0.8, 0.2]]
+            )[:n]
+            drone_xy = jnp.broadcast_to(fixed_d, (e, n, 2))
+            target_xy = jnp.broadcast_to(jnp.asarray([[-0.8, 0.0]]), (e, 1, 2))
+            drone_z = jax.random.uniform(
+                k_dz, (e, n, 1), minval=cfg.max_height / 2 - 0.1,
+                maxval=cfg.max_height / 2 + 0.1,
+            )
+            target_z = jax.random.uniform(
+                k_tz, (e, 1, 1), minval=cfg.max_height / 2 - 0.1,
+                maxval=cfg.max_height / 2 + 0.1,
+            )
+            drone_pos = jnp.concatenate([drone_xy, drone_z], axis=-1)
+            target_pos = jnp.concatenate([target_xy, target_z], axis=-1)
+        else:  # fixed scenario
+            drone_pos = jnp.broadcast_to(self._spawn_drone, (e, n, 3))
+            target_pos = jnp.broadcast_to(self._spawn_target, (e, 1, 3))
+
+        if cfg.use_eval:
+            rpy = jnp.zeros((e, n, 3))
+        else:
+            rpy = jax.random.uniform(
+                k_rpy, (e, n, 3),
+                minval=jnp.asarray([-0.2, -0.2, 0.0]) * jnp.pi,
+                maxval=jnp.asarray([0.2, 0.2, 0.2]) * jnp.pi,
+            )
+        quat = euler_to_quaternion(rpy)
+
+        if cfg.use_random_cylinder:
+            xy, active = sample_cylinders(
+                k_cyl,
+                drone_pos[..., :2],
+                target_pos[..., :2],
+                self.grid,
+                cfg.num_cylinders,
+                cfg.min_cylinders,
+                cfg.max_cylinders,
+                cfg.fixed_cylinders,
+            )
+            idx = jnp.arange(cfg.num_cylinders)[None, :]
+            z = jnp.where(
+                idx < active, 0.5 * cfg.max_height, INVALID_Z
+            )[..., None]
+            cylinders = jnp.concatenate([xy, z], axis=-1)
+        else:
+            cylinders = jnp.broadcast_to(
+                self._scenario_cyl, (e, cfg.num_cylinders, 3)
+            )
+        return drone_pos, quat, target_pos, cylinders
+
+    def _fresh(self, key: jnp.ndarray, v_prey, update_epoch) -> HideAndSeekState:
+        cfg = self.cfg
+        e, n = cfg.num_envs, cfg.num_agents
+        k_scene, k_next = jax.random.split(key)
+        drone_pos, quat, target_pos, cylinders = self._sample_scene(k_scene)
+        drone = hover_state(self.params, drone_pos, quat)
+        stats = {k: jnp.zeros((e, 1)) for k in STAT_KEYS}
+        stats["first_capture_step"] = jnp.full(
+            (e, 1), float(cfg.max_episode_length)
+        )
+        state = HideAndSeekState(
+            drone=drone,
+            pid=PIDRateState.zeros((e, n)),
+            prev_action=hover_prev_action_init(self.params, drone.throttle),
+            target_pos=target_pos,
+            target_vel=jnp.zeros((e, 1, 3)),
+            cylinders=cylinders,
+            progress=jnp.zeros((e,), jnp.int32),
+            v_prey=jnp.asarray(v_prey, jnp.float32),
+            history=jnp.zeros((e, cfg.history_step, cfg.tp_input_dim)),
+            stats=stats,
+            update_epoch=jnp.asarray(update_epoch, jnp.float32),
+            key=k_next,
+        )
+        # prime the TP history with the initial frame (hideandseek.py:825-828)
+        frame = self._tp_frame(state)
+        return state.replace(
+            history=jnp.repeat(frame[:, None, :], cfg.history_step, axis=1)
+        )
+
+    def reset(self, key: jnp.ndarray) -> HideAndSeekState:
+        return self._fresh(key, self.cfg.v_prey * self.cfg.v_drone, 0.0)
+
+    # ------------------------------------------------------------- TP input
+    def _detection(self, state: HideAndSeekState):
+        """blocked [E,n], broadcast_detect [E,1] (hideandseek.py:786-791)."""
+        blocked = line_blocked_by_cylinder(
+            state.drone.pos, state.target_pos, state.cylinders,
+            self.cfg.cylinder_size,
+        )
+        target_rpos = state.drone.pos[:, :, None, :] - state.target_pos[:, None, :, :]
+        in_range = (
+            jnp.linalg.norm(target_rpos, axis=-1) < self.cfg.drone_detect_radius
+        )  # [E, n, 1]
+        detect = in_range & (~blocked[..., None])
+        broadcast_detect = jnp.any(detect, axis=1)  # [E, 1]
+        return blocked, broadcast_detect, target_rpos
+
+    def _tp_frame(self, state: HideAndSeekState) -> jnp.ndarray:
+        """One TP input frame (hideandseek.py:808-824): [t, masked target
+        pos, masked target vel, drone positions(, cylinder xy+radius)]."""
+        cfg = self.cfg
+        e = cfg.num_envs
+        _, broadcast_detect, _ = self._detection(state)
+        mask = ~broadcast_detect  # [E, 1]
+        t_pos = jnp.where(mask[..., None], cfg.mask_value, state.target_pos)
+        t_vel = jnp.where(mask[..., None], cfg.mask_value, state.target_vel)
+        parts = [
+            state.progress.astype(jnp.float32)[:, None],
+            t_pos.reshape(e, -1),
+            t_vel.reshape(e, -1),
+            state.drone.pos.reshape(e, -1),
+        ]
+        if cfg.use_obstacles_tp:
+            cyl = jnp.concatenate(
+                [
+                    state.cylinders[..., :2],
+                    jnp.full((e, cfg.num_cylinders, 1), cfg.cylinder_size),
+                ],
+                axis=-1,
+            )
+            parts.append(cyl.reshape(e, -1))
+        return jnp.concatenate(parts, axis=-1)
+
+    # ------------------------------------------------------------- observe
+    def observe_full(
+        self, state: HideAndSeekState, tp_params
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """(obs dict for actors, state dict for a centralized critic)
+        (hideandseek.py:746-917)."""
+        cfg = self.cfg
+        e, n = cfg.num_envs, cfg.num_agents
+        d = state.drone
+        sv = d.state_vector()  # [E, n, 23]
+
+        # pairwise drone relative positions, off-diagonal (cpos+off_diag)
+        rel = d.pos[:, :, None, :] - d.pos[:, None, :, :]  # [E, n, n, 3] i−j…
+        # reference: cpos(p, p)[i, j] = p_i − p_j, off_diag drops j=i
+        mask_offdiag = ~jnp.eye(n, dtype=bool)
+        drone_rpos = rel[:, mask_offdiag].reshape(e, n, n - 1, 3)
+
+        cyl_masked, cyl_raw, cyl_invalid = k_nearest_cylinders(
+            d.pos, state.cylinders, cfg.cylinder_size, cfg.max_height,
+            cfg.obs_max_cylinder, cfg.mask_value,
+        )
+
+        blocked, broadcast_detect, target_rpos = self._detection(state)
+        rpos_mask = (~broadcast_detect)[..., None, None]  # [E, 1, 1, 1]
+        target_rpos_masked = jnp.where(rpos_mask, cfg.mask_value, target_rpos)
+
+        t = (state.progress / cfg.max_episode_length)[:, None, None]
+        t_enc = jnp.broadcast_to(t, (e, n, cfg.time_encoding_dim))
+
+        obs: Dict[str, jnp.ndarray] = {}
+        if cfg.use_tp_net:
+            pred_norm = self.tp_net.apply(tp_params, state.history)  # [E, 3·fut]
+            pred = denormalize_predictions(
+                pred_norm.reshape(e, cfg.future_prediction_step, 3),
+                cfg.arena_size,
+                cfg.max_height,
+            )
+            # [E, n, fut·3] relative predicted positions (hideandseek.py:844)
+            rpos_pred = (
+                d.pos[:, :, None, :] - pred[:, None, :, :]
+            ).reshape(e, n, -1)
+            obs["state_self"] = jnp.concatenate(
+                [
+                    target_rpos_masked.reshape(e, n, -1),
+                    rpos_pred,
+                    sv[..., 3:10],
+                    sv[..., 13:19],
+                    t_enc,
+                ],
+                axis=-1,
+            )[:, :, None, :]
+            state_drones = jnp.concatenate(
+                [
+                    target_rpos.reshape(e, n, -1),
+                    rpos_pred,
+                    sv[..., 3:10],
+                    sv[..., 13:19],
+                    t_enc,
+                ],
+                axis=-1,
+            )
+        else:
+            obs["state_self"] = jnp.concatenate(
+                [
+                    target_rpos_masked.reshape(e, n, -1),
+                    sv[..., 3:10],
+                    sv[..., 13:19],
+                    t_enc,
+                ],
+                axis=-1,
+            )[:, :, None, :]
+            state_drones = jnp.concatenate(
+                [
+                    target_rpos.reshape(e, n, -1),
+                    sv[..., 3:10],
+                    sv[..., 13:19],
+                    t_enc,
+                ],
+                axis=-1,
+            )
+        obs["state_others"] = drone_rpos
+        obs["cylinders"] = cyl_masked
+        critic_state = {
+            "state_drones": state_drones,
+            "cylinders": cyl_masked,
+        }
+        return obs, critic_state
+
+    # ------------------------------------------------------------- reset hook
+    def _auto_reset(
+        self,
+        mid: "HideAndSeekState",
+        st: Dict[str, jnp.ndarray],
+        done_env: jnp.ndarray,
+        key: jnp.ndarray,
+    ) -> "HideAndSeekState":
+        """Select fresh per-env state where done (isaac_env.py:210-225)."""
+        k_fresh, k_next = jax.random.split(key)
+        fresh = self._fresh(k_fresh, mid.v_prey, mid.update_epoch)
+        sel = lambda a, b: where_done(done_env, a, b)
+        return mid.replace(
+            drone=sel(fresh.drone, mid.drone),
+            pid=sel(fresh.pid, mid.pid),
+            prev_action=sel(fresh.prev_action, mid.prev_action),
+            target_pos=sel(fresh.target_pos, mid.target_pos),
+            target_vel=sel(fresh.target_vel, mid.target_vel),
+            cylinders=sel(fresh.cylinders, mid.cylinders),
+            progress=jnp.where(done_env, 0, mid.progress),
+            history=sel(fresh.history, mid.history),
+            stats=sel(fresh.stats, st),
+            key=k_next,
+        )
+
+    # ------------------------------------------------------------- step
+    def step(
+        self,
+        state: HideAndSeekState,
+        action: jnp.ndarray,
+        key: jnp.ndarray,
+        tp_params=None,
+    ) -> Tuple[HideAndSeekState, Transition]:
+        cfg = self.cfg
+        e, n = cfg.num_envs, cfg.num_agents
+        params = self.params
+
+        # --- action transform (transforms.py:404-459) + stats bookkeeping
+        res = pid_rate_transform(
+            params, state.drone, action, state.prev_action, state.pid, cfg.dt
+        )
+        st = dict(state.stats)
+        ae_mean = jnp.mean(res.action_error, axis=-1, keepdims=True)
+        st["action_error_order1_mean"] = st["action_error_order1_mean"] + ae_mean
+        st["action_error_order1_max"] = jnp.maximum(
+            st["action_error_order1_max"], ae_mean
+        )
+
+        # --- evader velocity from potential field (hideandseek.py:737-744)
+        force = prey_force(
+            state.drone.pos, state.target_pos, state.cylinders,
+            cfg.cylinder_size, cfg.arena_size, cfg.max_height,
+            cfg.target_detect_radius,
+        )
+        t_vel = prey_velocity(
+            force, state.v_prey, componentwise=cfg.prey_componentwise_norm
+        )
+
+        # --- physics step: drones (with downwash) + kinematic evader
+        drone, throttle_diff = dynamics_step(
+            params, state.drone, res.rotor_cmds, cfg.dt, self.rigid_cfg,
+            enable_downwash=True,
+        )
+        target_pos = state.target_pos + cfg.dt * t_vel
+        progress = state.progress + 1
+
+        mid = state.replace(
+            drone=drone,
+            pid=res.pid_state,
+            prev_action=res.ctbr_action,
+            target_pos=target_pos,
+            target_vel=t_vel,
+            progress=progress,
+            stats=st,
+        )
+
+        # --- geometry shared by reward & obs
+        blocked, broadcast_detect, target_rpos = self._detection(mid)
+        target_dist = jnp.linalg.norm(
+            target_pos - drone.pos, axis=-1
+        )  # [E, n]
+        cyl_masked, cyl_raw, cyl_invalid = k_nearest_cylinders(
+            drone.pos, mid.cylinders, cfg.cylinder_size, cfg.max_height,
+            cfg.obs_max_cylinder, cfg.mask_value,
+        )
+
+        # --- reward (hideandseek.py:919-1006)
+        active_dist = (target_dist > cfg.catch_radius).astype(jnp.float32)
+        distance_reward = -cfg.dist_reward_coef * target_dist * active_dist
+        st["distance_reward"] = st["distance_reward"] + jnp.mean(
+            distance_reward, axis=-1, keepdims=True
+        )
+
+        detect_b = jnp.broadcast_to(broadcast_detect, (e, n))
+        detect_reward = cfg.detect_reward_coef * detect_b
+        st["sum_detect_step"] = st["sum_detect_step"] + jnp.any(
+            detect_b, axis=1, keepdims=True
+        )
+        st["detect_reward"] = st["detect_reward"] + jnp.mean(
+            detect_reward, axis=-1, keepdims=True
+        )
+
+        capture = target_dist < cfg.catch_radius                  # [E, n]
+        masked_capture = capture & (~blocked)
+        broadcast_capture = jnp.any(masked_capture, axis=-1, keepdims=True)
+        catch_reward = cfg.catch_reward_coef * jnp.broadcast_to(
+            broadcast_capture, (e, n)
+        ).astype(jnp.float32)
+        capture_flag = jnp.any(catch_reward > 0, axis=1, keepdims=True)
+        st["blocked"] = st["blocked"] + jnp.all(blocked, axis=-1, keepdims=True)
+        st["success"] = jnp.logical_or(
+            capture_flag, st["success"].astype(bool)
+        ).astype(jnp.float32)
+        current_capture_step = jnp.where(
+            capture_flag[..., 0], progress.astype(jnp.float32),
+            float(cfg.max_episode_length),
+        )[:, None]
+        st["first_capture_step"] = jnp.minimum(
+            st["first_capture_step"], current_capture_step
+        )
+        st["catch_reward"] = st["catch_reward"] + jnp.mean(
+            catch_reward, axis=-1, keepdims=True
+        )
+
+        speed = jnp.linalg.norm(drone.vel, axis=-1)
+        speed_reward = -cfg.speed_coef * (speed > cfg.v_drone)
+        st["speed_reward"] = st["speed_reward"] + jnp.mean(
+            speed_reward, axis=-1, keepdims=True
+        )
+
+        # collisions: k-nearest cylinders (XY), other drones, wall
+        cyl_xy_dist = jnp.linalg.norm(cyl_raw[..., :2], axis=-1)  # [E, n, k]
+        coll_cyl = (
+            (cyl_xy_dist - cfg.cylinder_size < cfg.collision_radius)
+            & (~cyl_invalid)
+        ).astype(jnp.float32).sum(-1)
+        collision_reward = -cfg.collision_coef * coll_cyl
+        st["collision_cylinder"] = st["collision_cylinder"] + jnp.mean(
+            coll_cyl, axis=-1, keepdims=True
+        )
+        rel = drone.pos[:, :, None, :] - drone.pos[:, None, :, :]
+        ddist = jnp.linalg.norm(rel, axis=-1) + jnp.eye(n) * 1e6
+        coll_drone = (
+            (ddist < 2.0 * cfg.collision_radius).astype(jnp.float32).sum(-1)
+        )
+        collision_reward = collision_reward - cfg.collision_coef * coll_drone
+        st["collision_drone"] = st["collision_drone"] + jnp.mean(
+            coll_drone, axis=-1, keepdims=True
+        )
+        coll_wall = (
+            (drone.pos[..., 2] > cfg.max_height).astype(jnp.float32)
+            + (
+                jnp.square(drone.pos[..., 0]) + jnp.square(drone.pos[..., 1])
+                > cfg.arena_size**2
+            ).astype(jnp.float32)
+        )
+        collision_reward = collision_reward - cfg.collision_coef * coll_wall
+        collision_flag = jnp.any(collision_reward < 0, axis=1, keepdims=True)
+        st["collision"] = st["collision"] + collision_flag
+        st["collision_wall"] = st["collision_wall"] + jnp.mean(
+            coll_wall, axis=-1, keepdims=True
+        )
+        st["collision_reward"] = st["collision_reward"] + jnp.mean(
+            collision_reward, axis=-1, keepdims=True
+        )
+
+        # smoothness (deploy stage, hideandseek.py:986-997)
+        smoothness_coef = jnp.minimum(
+            cfg.max_smoothness_coef,
+            cfg.init_smoothness_coef + cfg.smooth_lr * state.update_epoch,
+        )
+        st["smoothness_coef"] = jnp.broadcast_to(
+            smoothness_coef, (e, 1)
+        ) * jnp.ones_like(st["smoothness_coef"])
+        smoothness_reward = smoothness_coef * jnp.exp(-res.action_error)
+        if not cfg.use_deployment:
+            smoothness_reward = jnp.zeros_like(smoothness_reward)
+        st["smoothness_reward"] = st["smoothness_reward"] + jnp.mean(
+            smoothness_reward, axis=-1, keepdims=True
+        )
+        st["smoothness_mean"] = st["smoothness_mean"] + jnp.mean(
+            throttle_diff, axis=-1, keepdims=True
+        )
+        st["smoothness_max"] = jnp.maximum(
+            st["smoothness_max"],
+            jnp.max(throttle_diff, axis=-1, keepdims=True),
+        )
+
+        reward = (
+            distance_reward
+            + detect_reward
+            + catch_reward
+            + collision_reward
+            + speed_reward
+            + smoothness_reward
+        )  # [E, n]
+        st["return"] = st["return"] + jnp.mean(reward, axis=-1, keepdims=True)
+
+        done_env = progress >= cfg.max_episode_length
+        done = done_env[:, None]
+
+        # out-of-arena stat (hideandseek.py:1097-1098)
+        out = (
+            jnp.square(target_pos[..., 0]) + jnp.square(target_pos[..., 1])
+            > cfg.arena_size**2
+        )
+        st["out_of_arena"] = jnp.logical_or(
+            st["out_of_arena"].astype(bool), out
+        ).astype(jnp.float32)
+
+        # per-episode normalization at done (hideandseek.py:1017-1056)
+        ep_len = jnp.clip(progress.astype(jnp.float32), 1.0, None)[:, None]
+        div = jnp.where(done, ep_len, 1.0)
+        for k in _EP_NORMALIZED:
+            st[k] = st[k] / div
+
+        # evader speed curriculum (hideandseek.py:1012-1015)
+        any_done = jnp.any(done_env)
+        mean_success = jnp.mean(st["success"])
+        v_prey = jnp.where(
+            any_done & (mean_success >= 0.98),
+            jnp.minimum(1.3, state.v_prey + 0.05),
+            state.v_prey,
+        )
+
+        # --- TP bookkeeping: append new frame to the history window
+        mid = mid.replace(stats=st, v_prey=v_prey)
+        frame = self._tp_frame(mid)
+        history = jnp.concatenate(
+            [state.history[:, 1:], frame[:, None, :]], axis=1
+        )
+        mid = mid.replace(history=history)
+
+        # --- auto-reset (overridable; the AEG env swaps in buffer tasks)
+        new_state = self._auto_reset(mid, st, done_env, key)
+
+        obs, critic_state = self.observe_full(new_state, tp_params)
+        tp_gt = normalize_groundtruth(
+            new_state.target_pos[:, 0], cfg.arena_size, cfg.max_height
+        )
+        tp_done = (
+            new_state.progress
+            <= cfg.max_episode_length - cfg.future_prediction_step
+        )[:, None]
+        info = {
+            "drone_state": drone.state_vector()[..., :13],
+            "ctbr": res.ctbr,
+            "prev_action": new_state.prev_action,
+            "state": critic_state,
+            "tp_input": new_state.history,
+            "tp_gt": tp_gt,
+            "tp_done": tp_done.astype(jnp.float32),
+        }
+        return new_state, Transition(
+            obs=obs,
+            reward=jnp.broadcast_to(reward[..., None], (e, n, 1)),
+            done=done,
+            stats=st,
+            info=info,
+        )

@@ -1,0 +1,305 @@
+"""Hover task: single drone stabilizes at a fixed point with fixed heading.
+
+Pure-JAX port of the reference Hover environment
+(omni_drones/envs/single/hover.py:40-523): same observation layout, reward
+terms, CTBR telemetry stats, and randomized initial pose.  The whole env —
+dynamics, PID-rate transform, reward, auto-reset — is one statically-shaped
+step function.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..controllers import PIDRateState
+from ..core import euler_to_quaternion
+from ..dynamics import DroneState, RigidBodyCfg, hover_state, make_params
+from ..dynamics import step as dynamics_step
+from ..transforms.ctbr import hover_prev_action_init, pid_rate_transform
+from .base import Transition, register_env, where_done
+
+
+@dataclasses.dataclass(frozen=True)
+class HoverCfg:
+    """Task hyper-parameters (reference cfg/task/Hover.yaml)."""
+
+    num_envs: int = 4096
+    max_episode_length: int = 500
+    dt: float = 0.01
+    drone_model: str = "crazyflie"
+    reward_distance_scale: float = 10.0
+    reward_v_scale: float = 0.0
+    reward_acc_scale: float = 0.0
+    reward_jerk_scale: float = 0.0
+    linear_vel_max: float = 3.0
+    linear_acc_max: float = 10.0
+    time_encoding_dim: int = 4
+    action_noise: bool = False
+    obs_noise: bool = False
+
+    @property
+    def obs_dim(self) -> int:
+        # rpos(3) + quat+vel(7) + heading+up(6) + time(4)  (hover.py:194-209)
+        return 3 + 7 + 6 + self.time_encoding_dim
+
+
+STAT_KEYS = (
+    "return",
+    "pos_error",
+    "heading_alignment",
+    "uprightness",
+    "action_smoothness",
+    "episode_len",
+    "reward_pos",
+    "pos_bonus",
+    "head_bonus",
+    "linear_v_max",
+    "angular_v_max",
+    "linear_a_max",
+    "angular_a_max",
+    "linear_jerk_max",
+    "angular_jerk_max",
+    "linear_v_mean",
+    "angular_v_mean",
+    "linear_a_mean",
+    "angular_a_mean",
+    "linear_jerk_mean",
+    "angular_jerk_mean",
+    "action_error_order1_mean",
+)
+
+
+@struct.dataclass
+class HoverState:
+    drone: DroneState           # [E, 1, ·]
+    pid: PIDRateState           # [E, 1, ·]
+    prev_action: jnp.ndarray    # [E, 1, 4]
+    target_pos: jnp.ndarray     # [E, 1, 3]
+    target_heading: jnp.ndarray # [E, 1, 3]
+    progress: jnp.ndarray       # [E]
+    stats: Dict[str, jnp.ndarray]
+    # smoothness trackers (hover.py:150-155)
+    last_linear_v: jnp.ndarray
+    last_angular_v: jnp.ndarray
+    last_linear_a: jnp.ndarray
+    last_angular_a: jnp.ndarray
+    key: jnp.ndarray
+
+
+@register_env("Hover")
+class Hover:
+    """Vectorized hover env; all methods are pure and jit-safe."""
+
+    def __init__(self, cfg: HoverCfg = HoverCfg()):
+        self.cfg = cfg
+        self.params = make_params(cfg.drone_model)
+        self.rigid_cfg = RigidBodyCfg(max_linear_velocity=1000.0)
+        self.num_agents = 1
+        self.action_dim = 4
+
+    # -- spec-ish metadata ------------------------------------------------
+    @property
+    def obs_dim(self) -> int:
+        return self.cfg.obs_dim
+
+    @property
+    def num_envs(self) -> int:
+        return self.cfg.num_envs
+
+    # -- reset ------------------------------------------------------------
+    def _sample_drone_state(
+        self, key: jnp.ndarray, batch: Tuple[int, ...]
+    ) -> DroneState:
+        """Initial pose: pos ~ U([-1,-1,0.05],[1,1,2]), rpy ~ U(±0.2π, yaw
+        [0, 0.5π]) (hover.py:129-140)."""
+        k_pos, k_rpy = jax.random.split(key)
+        pos = jax.random.uniform(
+            k_pos,
+            batch + (3,),
+            minval=jnp.asarray([-1.0, -1.0, 0.05]),
+            maxval=jnp.asarray([1.0, 1.0, 2.0]),
+        )
+        rpy = jax.random.uniform(
+            k_rpy,
+            batch + (3,),
+            minval=jnp.asarray([-0.2, -0.2, 0.0]) * jnp.pi,
+            maxval=jnp.asarray([0.2, 0.2, 0.5]) * jnp.pi,
+        )
+        return hover_state(self.params, pos, euler_to_quaternion(rpy))
+
+    def reset(self, key: jnp.ndarray) -> HoverState:
+        e = self.cfg.num_envs
+        k_init, k_next = jax.random.split(key)
+        drone = self._sample_drone_state(k_init, (e, 1))
+        zeros1 = jnp.zeros((e, 1))
+        return HoverState(
+            drone=drone,
+            pid=PIDRateState.zeros((e, 1)),
+            prev_action=hover_prev_action_init(self.params, drone.throttle),
+            target_pos=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (e, 1, 3)),
+            target_heading=jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (e, 1, 3)),
+            progress=jnp.zeros((e,), jnp.int32),
+            stats={k: zeros1 for k in STAT_KEYS},
+            last_linear_v=zeros1,
+            last_angular_v=zeros1,
+            last_linear_a=zeros1,
+            last_angular_a=zeros1,
+            key=k_next,
+        )
+
+    # -- observation ------------------------------------------------------
+    def observe(self, state: HoverState) -> jnp.ndarray:
+        """[rpos, quat, vel_w, heading, up, t] (hover.py:371-383)."""
+        d = state.drone
+        rpos = state.target_pos - d.pos
+        t = (state.progress / self.cfg.max_episode_length)[:, None, None]
+        obs = jnp.concatenate(
+            [
+                rpos,
+                d.quat,
+                d.vel,
+                d.heading,
+                d.up,
+                jnp.broadcast_to(
+                    t, (self.cfg.num_envs, 1, self.cfg.time_encoding_dim)
+                ),
+            ],
+            axis=-1,
+        )
+        return obs
+
+    # -- step -------------------------------------------------------------
+    def step(
+        self, state: HoverState, action: jnp.ndarray, key: jnp.ndarray
+    ) -> Tuple[HoverState, Transition]:
+        cfg = self.cfg
+        params = self.params
+
+        # (L4) CTBR action adapter + firmware PID (transforms.py:404-459)
+        res = pid_rate_transform(
+            params, state.drone, action, state.prev_action, state.pid, cfg.dt
+        )
+        drone, throttle_diff = dynamics_step(
+            params, state.drone, res.rotor_cmds, cfg.dt, self.rigid_cfg,
+            enable_downwash=False,
+        )
+        progress = state.progress + 1
+
+        # reward (hover.py:439-498)
+        rpos = state.target_pos - drone.pos
+        pos_error = jnp.linalg.norm(rpos, axis=-1)
+        rheading = state.target_heading - drone.heading
+        head_error = jnp.linalg.norm(rheading, axis=-1)
+        heading_alignment = jnp.sum(drone.heading * state.target_heading, axis=-1)
+
+        reward_pos = -pos_error * cfg.reward_distance_scale
+        pos_bonus = (pos_error <= 0.02).astype(jnp.float32) * 10.0
+        reward_head = -head_error * (pos_bonus > 0)
+        head_bonus = (head_error <= 0.02).astype(jnp.float32) * 10.0 * (pos_bonus > 0)
+        reward_up = jnp.square((drone.up[..., 2] + 1.0) * 0.5)
+
+        linear_v = jnp.linalg.norm(drone.vel, axis=-1)
+        angular_v = jnp.linalg.norm(drone.angvel, axis=-1)
+        linear_a = jnp.abs(linear_v - state.last_linear_v) / cfg.dt
+        angular_a = jnp.abs(angular_v - state.last_angular_v) / cfg.dt
+        linear_jerk = jnp.abs(linear_a - state.last_linear_a) / cfg.dt
+        angular_jerk = jnp.abs(angular_a - state.last_angular_a) / cfg.dt
+
+        reward_v = cfg.reward_v_scale * (pos_bonus > 0) * (linear_v < cfg.linear_vel_max)
+        reward_acc = (
+            cfg.reward_acc_scale * (pos_bonus > 0) * (linear_a < cfg.linear_acc_max)
+        )
+        reward_jerk = cfg.reward_jerk_scale * (pos_bonus > 0) * (-linear_jerk)
+
+        reward = (
+            reward_pos + pos_bonus + reward_head + head_bonus + reward_up
+            + reward_v + reward_acc + reward_jerk
+        )
+        done_env = progress >= cfg.max_episode_length  # [E]
+        done = done_env[:, None]
+
+        # stats (EMA'd / maxed per hover.py:386-513)
+        alpha = 0.8
+        pcount = progress.astype(jnp.float32)[:, None]
+        st = dict(state.stats)
+        st["return"] = st["return"] + reward
+        st["pos_error"] = st["pos_error"] + (1 - alpha) * (pos_error - st["pos_error"])
+        st["heading_alignment"] = st["heading_alignment"] + (1 - alpha) * (
+            heading_alignment - st["heading_alignment"]
+        )
+        st["uprightness"] = st["uprightness"] + (1 - alpha) * (
+            drone.up[..., 2] - st["uprightness"]
+        )
+        st["action_smoothness"] = st["action_smoothness"] + (1 - alpha) * (
+            -throttle_diff - st["action_smoothness"]
+        )
+        st["episode_len"] = pcount * jnp.ones_like(st["episode_len"])
+        st["reward_pos"] = reward_pos
+        st["pos_bonus"] = pos_bonus
+        st["head_bonus"] = head_bonus
+        for name, cur in (
+            ("linear_v", linear_v),
+            ("angular_v", angular_v),
+            ("linear_a", linear_a),
+            ("angular_a", angular_a),
+            ("linear_jerk", linear_jerk),
+            ("angular_jerk", angular_jerk),
+        ):
+            st[f"{name}_max"] = jnp.maximum(st[f"{name}_max"], jnp.abs(cur))
+            st[f"{name}_mean"] = st[f"{name}_mean"] + (
+                jnp.abs(cur) - st[f"{name}_mean"]
+            ) / pcount
+        st["action_error_order1_mean"] = st["action_error_order1_mean"] + (
+            res.action_error - st["action_error_order1_mean"]
+        ) / pcount
+
+        mid_state = state.replace(
+            drone=drone,
+            pid=res.pid_state,
+            prev_action=res.ctbr_action,
+            progress=progress,
+            stats=st,
+            last_linear_v=linear_v,
+            last_angular_v=angular_v,
+            last_linear_a=linear_a,
+            last_angular_a=angular_a,
+        )
+
+        # auto-reset (isaac_env.py:210-225 semantics): done envs get fresh
+        # state (incl. zeroed stats); Transition.stats keeps the finished values
+        k_init, k_next = jax.random.split(key)
+        fresh_drone = self._sample_drone_state(k_init, (cfg.num_envs, 1))
+        zeros1 = jnp.zeros((cfg.num_envs, 1))
+        sel = lambda new, old: where_done(done_env, new, old)
+        new_state = mid_state.replace(
+            drone=sel(fresh_drone, drone),
+            pid=sel(PIDRateState.zeros((cfg.num_envs, 1)), res.pid_state),
+            prev_action=sel(
+                hover_prev_action_init(params, fresh_drone.throttle), res.ctbr_action
+            ),
+            progress=jnp.where(done_env, 0, progress),
+            stats=sel({k: zeros1 for k in STAT_KEYS}, st),
+            last_linear_v=sel(zeros1, linear_v),
+            last_angular_v=sel(zeros1, angular_v),
+            last_linear_a=sel(zeros1, linear_a),
+            last_angular_a=sel(zeros1, angular_a),
+            key=k_next,
+        )
+        obs = self.observe(new_state)
+
+        info = {
+            "drone_state": drone.state_vector()[..., :13],
+            "ctbr": res.ctbr,
+            "prev_action": new_state.prev_action,
+        }
+        return new_state, Transition(
+            obs=obs,
+            reward=reward[..., None],
+            done=done,
+            stats=st,
+            info=info,
+        )

@@ -1,0 +1,166 @@
+"""On-device scene sampling: occupancy-grid placement with bounded iteration.
+
+TPU-native replacement for the reference's CPU rejection sampling
+(omni_drones/envs/hide_and_seek/hideandseek.py:576-607
+`rejection_sampling_random_cylinder`, and
+omni_drones/envs/hide_and_seek/placement.py).  The data-dependent
+``while``/``randperm`` loops become Gumbel-top-k draws over masked occupancy
+grids — exact uniform sampling without replacement over free cells, fully
+jittable and vectorized over envs.  Path feasibility (placement.py:54-101
+DFS) becomes a fixed-iteration flood fill.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Grid(NamedTuple):
+    """Static description of the arena occupancy grid
+    (hideandseek.py:576-583): cells of 2·cylinder_size, centered on origin."""
+
+    num_grid: int
+    grid_size: float
+    boundary: float
+
+    @property
+    def center(self) -> int:
+        return self.num_grid // 2
+
+
+def make_grid(arena_size: float, cylinder_size: float) -> Grid:
+    grid_size = 2.0 * cylinder_size
+    num_grid = int(arena_size * 2.0 / grid_size)
+    return Grid(num_grid=num_grid, grid_size=grid_size, boundary=arena_size - 0.1)
+
+
+@functools.lru_cache(maxsize=None)
+def outside_circle_mask(num_grid: int) -> np.ndarray:
+    """Cells at distance ≥ n//2 from the center are outside the arena
+    (hideandseek.py:168-181 `set_outside_circle_to_one`)."""
+    r = num_grid // 2
+    i, j = np.meshgrid(np.arange(num_grid), np.arange(num_grid), indexing="ij")
+    dist = np.sqrt((i - r) ** 2 + (j - r) ** 2)
+    return dist >= r
+
+
+def continuous_to_grid(coords: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """XY → integer cell indices (hideandseek.py:144-165)."""
+    g = jnp.round(coords / grid.grid_size).astype(jnp.int32) + grid.center
+    return jnp.clip(g, 0, grid.num_grid - 1)
+
+
+def grid_to_continuous(cells: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Integer cell indices → XY cell centers, clamped inside the boundary
+    (hideandseek.py:121-142)."""
+    coords = (cells - grid.center).astype(jnp.float32) * grid.grid_size
+    return jnp.clip(coords, -grid.boundary, grid.boundary)
+
+
+def occupancy_from_points(points_xy: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Mark the cells containing `points_xy` [..., P, 2] → bool [..., G, G]."""
+    cells = continuous_to_grid(points_xy, grid)
+    flat = cells[..., 0] * grid.num_grid + cells[..., 1]
+    g2 = grid.num_grid * grid.num_grid
+    onehot = jax.nn.one_hot(flat, g2, dtype=jnp.bool_)
+    occ = jnp.any(onehot, axis=-2)
+    return occ.reshape(occ.shape[:-1] + (grid.num_grid, grid.num_grid))
+
+
+def sample_free_cells(
+    key: jnp.ndarray,
+    occupied: jnp.ndarray,  # bool [..., G, G]
+    num_samples: int,
+    grid: Grid,
+) -> jnp.ndarray:
+    """Uniformly draw `num_samples` distinct free cells per env via
+    Gumbel-top-k — the jittable equivalent of
+    `select_unoccupied_positions` (hideandseek.py:106-119).
+    Returns XY coordinates [..., num_samples, 2].
+    """
+    g2 = grid.num_grid * grid.num_grid
+    occ_flat = occupied.reshape(occupied.shape[:-2] + (g2,))
+    gumbel = jax.random.gumbel(key, occ_flat.shape)
+    scores = jnp.where(occ_flat, -jnp.inf, gumbel)
+    _, idx = jax.lax.top_k(scores, num_samples)          # [..., S]
+    cells = jnp.stack([idx // grid.num_grid, idx % grid.num_grid], axis=-1)
+    return grid_to_continuous(cells, grid)
+
+
+def sample_cylinders(
+    key: jnp.ndarray,
+    drone_xy: jnp.ndarray,    # [E, n, 2]
+    target_xy: jnp.ndarray,   # [E, 1, 2]
+    grid: Grid,
+    num_cylinders: int,
+    min_active: int,
+    max_active: int,
+    fixed_active: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random cylinder placement (hideandseek.py:576-607).
+
+    Occupied cells = outside-circle ∪ drone cells ∪ target cell; cylinders
+    are uniform over the rest; the number of *active* cylinders is uniform
+    in [min_active, max_active] (or fixed).  Returns (xy [E, C, 2],
+    active_count [E, 1]).
+    """
+    e = drone_xy.shape[0]
+    k_cells, k_count = jax.random.split(key)
+    base = jnp.asarray(outside_circle_mask(grid.num_grid))
+    occ = (
+        base[None]
+        | occupancy_from_points(drone_xy, grid)
+        | occupancy_from_points(target_xy, grid)
+    )
+    xy = sample_free_cells(k_cells, occ, num_cylinders, grid)
+    if fixed_active is not None:
+        active = jnp.full((e, 1), fixed_active, jnp.int32)
+    else:
+        active = jax.random.randint(
+            k_count, (e, 1), min_active, max_active + 1
+        )
+    return xy, active
+
+
+def flood_fill_reachable(
+    free: jnp.ndarray,      # bool [..., G, G] — traversable cells
+    start: jnp.ndarray,     # int [..., 2] — start cell
+    num_iters: int,
+) -> jnp.ndarray:
+    """Cells reachable from `start` by 4-neighbor moves through free cells.
+
+    Bounded-iteration flood fill replacing the recursive DFS of
+    placement.py:54-101 (`dfs`/`has_feasible_path`); `num_iters` ≥ G²/2
+    guarantees convergence on a G×G grid.
+    """
+    g = free.shape[-1]
+    start_flat = start[..., 0] * g + start[..., 1]
+    reach = jax.nn.one_hot(start_flat, g * g, dtype=jnp.bool_)
+    reach = reach.reshape(free.shape)
+    reach = reach & free
+
+    def body(_, reach):
+        up = jnp.roll(reach, -1, axis=-2).at[..., -1, :].set(False)
+        down = jnp.roll(reach, 1, axis=-2).at[..., 0, :].set(False)
+        left = jnp.roll(reach, -1, axis=-1).at[..., :, -1].set(False)
+        right = jnp.roll(reach, 1, axis=-1).at[..., :, 0].set(False)
+        return (reach | up | down | left | right) & free
+
+    return jax.lax.fori_loop(0, num_iters, body, reach)
+
+
+def has_feasible_path(
+    free: jnp.ndarray, start: jnp.ndarray, goals: jnp.ndarray, num_iters: int
+) -> jnp.ndarray:
+    """True per env iff every goal cell is reachable from start
+    (placement.py:73-101)."""
+    reach = flood_fill_reachable(free, start, num_iters)
+    g = free.shape[-1]
+    goals_flat = goals[..., 0] * g + goals[..., 1]
+    reach_flat = reach.reshape(reach.shape[:-2] + (g * g,))
+    hit = jnp.take_along_axis(reach_flat, goals_flat, axis=-1)
+    return jnp.all(hit, axis=-1)

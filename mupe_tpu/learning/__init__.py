@@ -1,0 +1,21 @@
+from .gae import compute_gae
+from .mappo import MAPPOCfg, MAPPOPolicy, MAPPOState, RolloutBatch
+from .rollout import IterCarry, init_carry, make_train_iter
+from .tp_net import TPNet, denormalize_predictions, normalize_groundtruth
+from .valuenorm import ValueNorm1, ValueNorm2
+
+__all__ = [
+    "compute_gae",
+    "MAPPOCfg",
+    "MAPPOPolicy",
+    "MAPPOState",
+    "RolloutBatch",
+    "IterCarry",
+    "init_carry",
+    "make_train_iter",
+    "TPNet",
+    "denormalize_predictions",
+    "normalize_groundtruth",
+    "ValueNorm1",
+    "ValueNorm2",
+]

@@ -1,0 +1,456 @@
+"""MAPPO (CTDE PPO) + TP-net training, fully jitted.
+
+TPU-native re-design of the reference `MAPPOPolicy`
+(omni_drones/learning/mappo.py:54-513):
+
+- shared or per-agent actors: per-agent params are a stacked pytree applied
+  with `jax.vmap` over the agent axis (mappo.py:149-152, 244-247);
+- decentralized critic over per-agent observations or centralized critic over
+  the global state (mappo.py:156-219);
+- PPO-clip actor update with entropy bonus (:271-324), clipped + Huber value
+  loss (:326-352), GAE (:382-389), batch-level advantage normalization,
+  `ValueNorm1` value-target normalization;
+- supervised TP-net update on sliding windows of future evader positions
+  (:407-443) — the reference's dynamic `masked_select` becomes a statically
+  shaped masked MSE so the whole update stays inside one compiled program;
+- the epoch × minibatch loop (:446-461) is a `lax.scan` over shuffled
+  minibatch indices.
+
+Known intentional deviation: the reference's ESS diagnostic (mappo.py:318)
+applies logsumexp to the ratio rather than the log-ratio; here ESS is the
+standard (Σw)²/Σw² estimate.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax import struct
+
+from .gae import compute_gae
+from .modules.distributions import DiagGaussianHead, Gaussian
+from .modules.networks import make_encoder
+from .tp_net import TPNet
+from .valuenorm import ValueNorm1
+
+
+@dataclasses.dataclass(frozen=True)
+class MAPPOCfg:
+    """Hyper-parameters (reference cfg/algo/mappo.yaml)."""
+
+    train_every: int = 64
+    num_minibatches: int = 16
+    ppo_epochs: int = 4
+    tp_epochs: int = 1
+    clip_param: float = 0.1
+    entropy_coef: float = 0.001
+    gamma: float = 0.995
+    gae_lambda: float = 0.95
+    actor_lr: float = 5e-4
+    critic_lr: float = 5e-4
+    tp_lr: float = 1e-4
+    weight_decay: float = 0.0
+    max_grad_norm: float = 10.0
+    share_actor: bool = True
+    critic_input: str = "obs"  # "obs" (per-agent) or "state" (centralized)
+    normalize_advantages: bool = True
+    use_tp_net: bool = False
+    value_norm_beta: float = 0.995
+    hidden_units: Tuple[int, ...] = (256, 256, 256)
+    attn_encoder: str = "PartialAttentionEncoder"
+    huber_delta: float = 10.0
+    future_prediction_step: int = 5
+    window_step: int = 1
+
+
+class Actor(nn.Module):
+    """Encoder → DiagGaussian head (mappo.py:525-551 make_ppo_actor)."""
+
+    action_dim: int
+    hidden_units: Tuple[int, ...]
+    attn_encoder: str
+    obs_is_dict: bool
+
+    @nn.compact
+    def __call__(self, obs) -> Gaussian:
+        feats = make_encoder(self.hidden_units, self.attn_encoder, self.obs_is_dict)(obs)
+        return DiagGaussianHead(self.action_dim)(feats)
+
+
+class Critic(nn.Module):
+    """Encoder → value head (mappo.py:553-570 make_critic)."""
+
+    out_dim: int
+    hidden_units: Tuple[int, ...]
+    attn_encoder: str
+    obs_is_dict: bool
+
+    @nn.compact
+    def __call__(self, obs) -> jnp.ndarray:
+        feats = make_encoder(self.hidden_units, self.attn_encoder, self.obs_is_dict)(obs)
+        return nn.Dense(
+            self.out_dim, kernel_init=nn.initializers.orthogonal(0.01)
+        )(feats)
+
+
+@struct.dataclass
+class MAPPOState:
+    """All learnable state — params, optimizers, normalizers — as one pytree."""
+
+    actor_params: Any
+    critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    value_norm: ValueNorm1
+    tp_params: Any = None
+    tp_opt: Any = None
+
+
+@struct.dataclass
+class RolloutBatch:
+    """Time-major trajectory batch: leaves are [T, E, ...]."""
+
+    obs: Any                    # pytree; leaves [T, E, n, ...]
+    action: jnp.ndarray         # [T, E, n, A]
+    logp: jnp.ndarray           # [T, E, n, 1]
+    value: jnp.ndarray          # [T, E, n, 1]
+    reward: jnp.ndarray         # [T, E, n, 1]
+    done: jnp.ndarray           # [T, E, 1]
+    last_obs: Any               # pytree; leaves [E, n, ...] (bootstrap input)
+    state: Any = None           # centralized-critic input, if used
+    last_state: Any = None
+    tp_input: Any = None        # [T, E, H, F]
+    tp_gt: Any = None           # [T, E, 3] normalized ground truth
+    tp_done: Any = None         # [T, E, 1] validity (hideandseek.py:838)
+
+
+class MAPPOPolicy:
+    """Static algorithm object; all methods are pure given a `MAPPOState`."""
+
+    def __init__(
+        self,
+        cfg: MAPPOCfg,
+        n_agents: int,
+        action_dim: int,
+        obs_is_dict: bool,
+        tp_input_dim: Optional[int] = None,
+        state_is_dict: bool = True,
+    ):
+        self.cfg = cfg
+        self.n_agents = n_agents
+        self.action_dim = action_dim
+        self.obs_is_dict = obs_is_dict
+        self.actor = Actor(
+            action_dim=action_dim,
+            hidden_units=cfg.hidden_units,
+            attn_encoder=cfg.attn_encoder,
+            obs_is_dict=obs_is_dict,
+        )
+        if cfg.critic_input == "state":
+            self.critic = Critic(
+                out_dim=n_agents,
+                hidden_units=cfg.hidden_units,
+                attn_encoder=cfg.attn_encoder,
+                obs_is_dict=state_is_dict,
+            )
+        else:
+            self.critic = Critic(
+                out_dim=1,
+                hidden_units=cfg.hidden_units,
+                attn_encoder=cfg.attn_encoder,
+                obs_is_dict=obs_is_dict,
+            )
+        self.tp_net = (
+            TPNet(
+                output_dim=3 * cfg.future_prediction_step,
+                future_prediction_step=cfg.future_prediction_step,
+                window_step=cfg.window_step,
+            )
+            if cfg.use_tp_net
+            else None
+        )
+        self.tp_input_dim = tp_input_dim
+
+        def _adam(lr: float, wd: float = 0.0):
+            tx = (
+                optax.adamw(lr, weight_decay=wd) if wd > 0.0 else optax.adam(lr)
+            )
+            return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+
+        self.actor_tx = _adam(cfg.actor_lr)
+        self.critic_tx = _adam(cfg.critic_lr, cfg.weight_decay)
+        self.tp_tx = optax.adam(cfg.tp_lr)
+
+    # ------------------------------------------------------------------ init
+    def init_tp(self, key: jnp.ndarray):
+        """Initialize TP-net params alone — needed before the first observe,
+        since TP predictions are part of the observation
+        (hideandseek.py:316-319)."""
+        if self.tp_net is None:
+            return None
+        return self.tp_net.init(key, jnp.zeros((1, 10, self.tp_input_dim)))
+
+    def init(
+        self, key: jnp.ndarray, obs_example, state_example=None, tp_params=None
+    ) -> MAPPOState:
+        k_actor, k_critic, k_tp = jax.random.split(key, 3)
+        obs1 = jax.tree_util.tree_map(lambda x: x[:1], obs_example)
+        if self.cfg.share_actor:
+            actor_params = self.actor.init(k_actor, obs1)
+        else:
+            # stacked per-agent params (mappo.py:149-152)
+            actor_params = jax.vmap(self.actor.init, in_axes=(0, None))(
+                jax.random.split(k_actor, self.n_agents), obs1
+            )
+        if self.cfg.critic_input == "state":
+            assert state_example is not None
+            critic_params = self.critic.init(
+                k_critic, jax.tree_util.tree_map(lambda x: x[:1], state_example)
+            )
+        else:
+            critic_params = self.critic.init(k_critic, obs1)
+        tp_opt = None
+        if self.tp_net is not None:
+            if tp_params is None:
+                tp_params = self.init_tp(k_tp)
+            tp_opt = self.tp_tx.init(tp_params)
+        return MAPPOState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            value_norm=ValueNorm1.create((1,), beta=self.cfg.value_norm_beta),
+            tp_params=tp_params,
+            tp_opt=tp_opt,
+        )
+
+    # ------------------------------------------------------------------ fwd
+    def _actor_dist(self, actor_params, obs) -> Gaussian:
+        if self.cfg.share_actor:
+            return self.actor.apply(actor_params, obs)
+        # per-agent stacked params, vmapped over the agent axis
+        # (mappo.py:244-247): dict obs leaves are [..., n, k, d] (axis −3),
+        # flat obs leaves are [..., n, D] (axis −2); outputs are [..., A].
+        agent_axis = -3 if self.obs_is_dict else -2
+        return jax.vmap(self.actor.apply, in_axes=(0, agent_axis), out_axes=-2)(
+            actor_params, obs
+        )
+
+    def value_op(self, ts: MAPPOState, obs, state=None) -> jnp.ndarray:
+        """V(s) per agent → [..., n, 1] (mappo.py:221-232)."""
+        if self.cfg.critic_input == "state":
+            v = self.critic.apply(ts.critic_params, state)  # [..., n]
+            return v[..., None]
+        return self.critic.apply(ts.critic_params, obs)  # [..., n, 1]
+
+    def act(
+        self,
+        ts: MAPPOState,
+        obs,
+        key: jnp.ndarray,
+        deterministic: bool = False,
+        state=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Sample actions → (action, logp [...,n,1], value [...,n,1])."""
+        dist = self._actor_dist(ts.actor_params, obs)
+        action = dist.mode if deterministic else dist.sample(key)
+        logp = dist.log_prob(action)[..., None]
+        value = self.value_op(ts, obs, state)
+        return action, logp, value
+
+    # ------------------------------------------------------------------ train
+    def train_op(
+        self, ts: MAPPOState, batch: RolloutBatch, key: jnp.ndarray
+    ) -> Tuple[MAPPOState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        t_len, e = batch.reward.shape[:2]
+
+        next_value = self.value_op(ts, batch.last_obs, batch.last_state)
+        values = ts.value_norm.denormalize(batch.value)
+        next_value = ts.value_norm.denormalize(next_value)
+
+        reward = batch.reward
+        done = batch.done[..., None, :]  # [T, E, 1, 1] broadcast over agents
+        advantages, returns = compute_gae(
+            reward, done, values, next_value, cfg.gamma, cfg.gae_lambda
+        )
+        adv_mean = jnp.mean(advantages)
+        adv_std = jnp.std(advantages)
+        if cfg.normalize_advantages:
+            advantages = (advantages - adv_mean) / (adv_std + 1e-8)
+
+        value_norm = ts.value_norm.update(returns)
+        returns = value_norm.normalize(returns)
+        ts = ts.replace(value_norm=value_norm)
+
+        metrics: Dict[str, jnp.ndarray] = {
+            "advantages_mean": adv_mean,
+            "advantages_std": adv_std,
+        }
+
+        # ---------------- TP-net supervised update (mappo.py:407-443)
+        if self.tp_net is not None and batch.tp_input is not None:
+            ts, tp_metrics = self._update_tp(ts, batch, key)
+            metrics.update(tp_metrics)
+
+        # ---------------- PPO epochs over shuffled minibatches
+        flat = {
+            "obs": batch.obs,
+            "action": batch.action,
+            "logp": batch.logp,
+            "value": batch.value,
+            "advantages": advantages,
+            "returns": returns,
+        }
+        if cfg.critic_input == "state":
+            flat["state"] = batch.state
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((t_len * e,) + x.shape[2:]), flat
+        )
+        b = t_len * e
+        mb_size = b // cfg.num_minibatches
+
+        def epoch_body(ts, ek):
+            perm = jax.random.permutation(ek, b)[: mb_size * cfg.num_minibatches]
+            mb_idx = perm.reshape(cfg.num_minibatches, mb_size)
+
+            def mb_body(ts, idx):
+                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                ts, info_a = self._update_actor(ts, mb)
+                ts, info_c = self._update_critic(ts, mb)
+                return ts, {**info_a, **info_c}
+
+            return jax.lax.scan(mb_body, ts, mb_idx)
+
+        ts, infos = jax.lax.scan(
+            epoch_body, ts, jax.random.split(key, cfg.ppo_epochs)
+        )
+        metrics.update(
+            {k: jnp.mean(v) for k, v in infos.items()}
+        )
+        metrics["action_norm"] = jnp.mean(
+            jnp.linalg.norm(batch.action, axis=-1)
+        )
+        metrics["value_running_mean"] = jnp.mean(ts.value_norm.running_mean)
+        return ts, metrics
+
+    # ---------------- actor update (mappo.py:271-324)
+    def _update_actor(self, ts: MAPPOState, mb) -> Tuple[MAPPOState, Dict]:
+        cfg = self.cfg
+
+        def loss_fn(actor_params):
+            dist = self._actor_dist(actor_params, mb["obs"])
+            logp_new = dist.log_prob(mb["action"])[..., None]
+            entropy = dist.entropy()[..., None]
+            ratio = jnp.exp(logp_new - mb["logp"])
+            adv = mb["advantages"]
+            surr1 = ratio * adv
+            surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv
+            policy_loss = -jnp.mean(jnp.minimum(surr1, surr2) * self.action_dim)
+            entropy_loss = -jnp.mean(entropy)
+            total = policy_loss + entropy_loss * cfg.entropy_coef
+            return total, (policy_loss, entropy_loss, ratio)
+
+        (_, (policy_loss, entropy_loss, ratio)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.actor_params)
+        updates, new_opt = self.actor_tx.update(
+            grads, ts.actor_opt, ts.actor_params
+        )
+        new_params = optax.apply_updates(ts.actor_params, updates)
+        grad_norm = optax.global_norm(grads)
+        w = ratio.reshape(-1)
+        ess = jnp.square(jnp.sum(w)) / (jnp.sum(jnp.square(w)) * w.shape[0])
+        return (
+            ts.replace(actor_params=new_params, actor_opt=new_opt),
+            {
+                "policy_loss": policy_loss,
+                "actor_grad_norm": grad_norm,
+                "entropy": -entropy_loss,
+                "ESS": ess,
+            },
+        )
+
+    # ---------------- critic update (mappo.py:326-352)
+    def _update_critic(self, ts: MAPPOState, mb) -> Tuple[MAPPOState, Dict]:
+        cfg = self.cfg
+
+        def huber(pred, target):
+            return jnp.mean(optax.huber_loss(pred, target, delta=cfg.huber_delta))
+
+        def loss_fn(critic_params):
+            ts_ = ts.replace(critic_params=critic_params)
+            values = self.value_op(ts_, mb["obs"], mb.get("state"))
+            b_values = mb["value"]
+            b_returns = mb["returns"]
+            clipped = b_values + jnp.clip(
+                values - b_values, -cfg.clip_param, cfg.clip_param
+            )
+            loss = jnp.maximum(huber(values, b_returns), huber(clipped, b_returns))
+            explained_var = 1.0 - jnp.mean(
+                jnp.square(values - b_returns)
+            ) / (jnp.var(b_returns) + 1e-8)
+            return loss, explained_var
+
+        (loss, explained_var), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.critic_params
+        )
+        updates, new_opt = self.critic_tx.update(
+            grads, ts.critic_opt, ts.critic_params
+        )
+        new_params = optax.apply_updates(ts.critic_params, updates)
+        return (
+            ts.replace(critic_params=new_params, critic_opt=new_opt),
+            {
+                "value_loss": loss,
+                "critic_grad_norm": optax.global_norm(grads),
+                "explained_var": explained_var,
+            },
+        )
+
+    # ---------------- TP-net update (mappo.py:407-443, 252-269)
+    def _update_tp(
+        self, ts: MAPPOState, batch: RolloutBatch, key: jnp.ndarray
+    ) -> Tuple[MAPPOState, Dict]:
+        cfg = self.cfg
+        w = cfg.future_prediction_step
+        # tp_gt: [T, E, 3] → windows of future gt: for t, gt[t+1 .. t+w]
+        t_len = batch.tp_gt.shape[0]
+        n_windows = t_len - w
+        idx = jnp.arange(n_windows)[:, None] + jnp.arange(1, w + 1)[None, :]
+        windows = batch.tp_gt[idx]              # [W, w, E, 3]
+        windows = jnp.swapaxes(windows, 1, 2)   # [W, E, w, 3]
+        targets = windows.reshape(windows.shape[:2] + (w * 3,))
+        inputs = batch.tp_input[:n_windows]     # [W, E, H, F]
+        # validity: no episode boundary inside the window and TP_done flag
+        # (mappo.py:416-419 mask semantics, made statically shaped)
+        done_t = batch.done[..., 0]             # [T, E]
+        win_done = done_t[idx]                  # [W, w, E]
+        valid = (~jnp.any(win_done, axis=1)) & batch.tp_done[:n_windows, :, 0].astype(bool)
+        valid = valid.astype(jnp.float32)[..., None]  # [W, E, 1]
+
+        def loss_fn(tp_params):
+            pred = self.tp_net.apply(
+                tp_params, inputs.reshape((-1,) + inputs.shape[2:])
+            ).reshape(targets.shape)
+            se = jnp.square(pred - targets) * valid
+            return jnp.sum(se) / (jnp.sum(valid) * targets.shape[-1] + 1e-8)
+
+        def epoch_body(carry, _):
+            tp_params, tp_opt = carry
+            loss, grads = jax.value_and_grad(loss_fn)(tp_params)
+            updates, tp_opt = self.tp_tx.update(grads, tp_opt, tp_params)
+            tp_params = optax.apply_updates(tp_params, updates)
+            return (tp_params, tp_opt), loss
+
+        (tp_params, tp_opt), losses = jax.lax.scan(
+            epoch_body, (ts.tp_params, ts.tp_opt), None, length=cfg.tp_epochs
+        )
+        return (
+            ts.replace(tp_params=tp_params, tp_opt=tp_opt),
+            {"TP_loss": jnp.mean(losses)},
+        )

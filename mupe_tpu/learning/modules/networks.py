@@ -1,0 +1,168 @@
+"""Flax encoders: MLP, entity embeddings, and attention encoders.
+
+TPU-native counterparts of the reference encoder family
+(omni_drones/learning/modules/networks.py): `MLP` (:49-71), `SplitEmbedding`
+(:125-163), `RelationEncoder` (:171-206), `PartialRelationEncoder` (:210-246),
+`PartialAttentionEncoder` (:250-313, the encoder used by the MAPPO config
+cfg/algo/mappo.yaml:33), and `LFF` learnable Fourier features (:88-122).
+
+Dict observations ({"state_self": [..,1,D₁], "state_others": [..,k,D₂], ...})
+replace the reference's CompositeSpec tensordicts; iteration order is the
+dict's insertion order, matching the reference's spec order.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLP(nn.Module):
+    """Linear→activation(→LayerNorm) stack (networks.py:49-71)."""
+
+    hidden_units: Sequence[int]
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for units in self.hidden_units:
+            x = nn.Dense(units)(x)
+            x = nn.elu(x)
+            if self.layer_norm:
+                x = nn.LayerNorm()(x)
+        return x
+
+
+class FlatEncoder(nn.Module):
+    """LayerNorm(input) → MLP — the flat-spec path of make_encoder
+    (learning/common.py:88-102)."""
+
+    hidden_units: Sequence[int] = (256, 256, 256)
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.LayerNorm()(x)
+        return MLP(self.hidden_units, self.layer_norm)(x)
+
+
+class SplitEmbedding(nn.Module):
+    """Per-key linear embedding of entity groups, concatenated along the
+    entity axis and LayerNormed (networks.py:125-163)."""
+
+    embed_dim: int = 128
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        embeds = [
+            nn.Dense(self.embed_dim, name=f"embed_{key}")(obs[key])
+            for key in obs.keys()
+        ]
+        x = jnp.concatenate(embeds, axis=-2)
+        if self.layer_norm:
+            x = nn.LayerNorm()(x)
+        return x
+
+
+class PartialAttentionEncoder(nn.Module):
+    """MHA with the self-entity token as the only query (networks.py:250-313).
+
+    obs: dict of (..., k_i, d_i) entity groups; the first `query_len` tokens
+    (the "state_self" group) attend over all tokens, followed by a residual
+    feed-forward block; output is the mean over query tokens.
+    """
+
+    embed_dim: int = 128
+    num_heads: int = 1
+    dim_feedforward: int = 128
+    query_len: int = 1
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        x = SplitEmbedding(self.embed_dim)(obs)
+        q = x[..., : self.query_len, :]
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.embed_dim, name="attn"
+        )(q, x)
+        # norm_first=False path (networks.py:296-297)
+        y = nn.LayerNorm()(q + attn)
+        ff = nn.Dense(self.dim_feedforward)(y)
+        ff = nn.gelu(ff)
+        ff = nn.Dense(self.embed_dim)(ff)
+        y = nn.LayerNorm()(y + ff)
+        return jnp.mean(y, axis=-2)
+
+
+class RelationEncoder(nn.Module):
+    """f(Σ_ij g(a_i ⊕ a_j)) over all entity pairs (networks.py:171-206)."""
+
+    embed_dim: int = 72
+    f_units: Sequence[int] = (256, 128)
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        a = SplitEmbedding(self.embed_dim)(obs)
+        ai = jnp.repeat(a[..., :, None, :], a.shape[-2], axis=-2)
+        aj = jnp.swapaxes(ai, -2, -3)
+        aij = jnp.concatenate([ai, aj], axis=-1)
+        g = MLP((self.f_units[0],))(aij)
+        g = nn.LayerNorm()(g)
+        pooled = jnp.sum(g, axis=(-3, -2))
+        return MLP(tuple(self.f_units))(pooled)
+
+
+class PartialRelationEncoder(nn.Module):
+    """f(Σ_j g(a_0 ⊕ a_j)), j ≠ 0 (networks.py:210-246)."""
+
+    embed_dim: int = 72
+    f_units: Sequence[int] = (256, 128)
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        a = SplitEmbedding(self.embed_dim)(obs)
+        ai, aj = a[..., :1, :], a[..., 1:, :]
+        aij = jnp.concatenate(
+            [jnp.broadcast_to(ai, aj.shape[:-1] + (ai.shape[-1],)), aj], axis=-1
+        )
+        g = MLP((self.f_units[0],))(aij)
+        g = nn.LayerNorm()(g)
+        pooled = jnp.sum(g, axis=-2)
+        return MLP(tuple(self.f_units))(pooled)
+
+
+class LFF(nn.Module):
+    """Learnable Fourier features (networks.py:88-122)."""
+
+    fourier_dim: int = 256
+    embed_dim: int = 72
+    sigma: float = 0.01
+    cat_input: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = self.param(
+            "B",
+            lambda key, shape: self.sigma * jnp.ones(shape) * 0
+            + self.sigma * nn.initializers.normal(1.0)(key, shape),
+            (x.shape[-1], self.fourier_dim),
+        )
+        proj = (x @ b) * (2.0 * jnp.pi)
+        feats = [jnp.sin(proj), jnp.cos(proj)] + ([x] if self.cat_input else [])
+        return nn.Dense(self.embed_dim)(jnp.concatenate(feats, axis=-1))
+
+
+ENCODERS_MAP = {
+    "PartialAttentionEncoder": PartialAttentionEncoder,
+    "RelationEncoder": RelationEncoder,
+    "PartialRelationEncoder": PartialRelationEncoder,
+}
+
+
+def make_encoder(cfg_hidden_units, attn_encoder: str, obs_is_dict: bool) -> nn.Module:
+    """Encoder factory mirroring learning/common.py:88-142: flat specs get the
+    LayerNorm+MLP, dict (composite) specs get the configured entity encoder."""
+    if obs_is_dict:
+        return ENCODERS_MAP[attn_encoder]()
+    return FlatEncoder(tuple(cfg_hidden_units))

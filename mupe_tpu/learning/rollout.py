@@ -1,0 +1,126 @@
+"""Fused rollout + update: the whole training iteration as one XLA program.
+
+The reference's hot loop is a torchrl `SyncDataCollector` stepping the Isaac
+sim across the Python/PhysX boundary 64 times, then `policy.train_op`
+(scripts/train.py:269-300, utils/torchrl/collector.py:33-87).  Here the
+rollout is a `lax.scan` of (policy → CTBR transform → dynamics → reward) and
+the PPO update runs in the same jitted call — zero host↔device transfers per
+iteration, one compiled program per config.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .mappo import MAPPOPolicy, MAPPOState, RolloutBatch
+
+
+@struct.dataclass
+class IterCarry:
+    """Carried across training iterations (all on device)."""
+
+    ts: MAPPOState
+    env_state: Any
+    obs: Any
+    state: Any  # centralized-critic input (or None)
+    key: jnp.ndarray
+
+
+def make_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
+    """Build the jitted `train_iter(carry) -> (carry, metrics, ep_stats)`.
+
+    `env` must expose `step(state, action, key[, tp_params]) -> (state,
+    Transition)`; Transition.info may carry "tp_input"/"tp_gt"/"tp_done" and
+    "state" (centralized critic input).
+    """
+    cfg = policy.cfg
+    uses_tp = policy.tp_net is not None and getattr(env, "provides_tp", False)
+
+    def rollout_step(carry, key):
+        ts, env_state, obs, state = carry
+        k_act, k_env = jax.random.split(key)
+        action, logp, value = policy.act(
+            ts, obs, k_act, deterministic=deterministic, state=state
+        )
+        if uses_tp:
+            env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
+        else:
+            env_state, tr = env.step(env_state, action, k_env)
+        reward = tr.reward
+        collected = {
+            "obs": obs,
+            "action": action,
+            "logp": logp,
+            "value": value,
+            "reward": reward,
+            "done": tr.done,
+            "stats": tr.stats,
+        }
+        if cfg.critic_input == "state":
+            collected["state"] = state
+        if uses_tp:
+            collected["tp_input"] = tr.info["tp_input"]
+            collected["tp_gt"] = tr.info["tp_gt"]
+            collected["tp_done"] = tr.info["tp_done"]
+        next_state_input = tr.info.get("state") if isinstance(tr.info, dict) else None
+        return (ts, env_state, tr.obs, next_state_input), collected
+
+    def train_iter(carry: IterCarry) -> Tuple[IterCarry, Dict, Dict]:
+        key, k_roll, k_train = jax.random.split(carry.key, 3)
+        step_keys = jax.random.split(k_roll, cfg.train_every)
+        (ts, env_state, last_obs, last_state), traj = jax.lax.scan(
+            rollout_step,
+            (carry.ts, carry.env_state, carry.obs, carry.state),
+            step_keys,
+        )
+        batch = RolloutBatch(
+            obs=traj["obs"],
+            action=traj["action"],
+            logp=traj["logp"],
+            value=traj["value"],
+            reward=traj["reward"],
+            done=traj["done"],
+            last_obs=last_obs,
+            state=traj.get("state"),
+            last_state=last_state,
+            tp_input=traj.get("tp_input"),
+            tp_gt=traj.get("tp_gt"),
+            tp_done=traj.get("tp_done"),
+        )
+        ts, metrics = policy.train_op(ts, batch, k_train)
+
+        # episode stats: mean over transitions that finished an episode
+        # (the EpisodeStats harvester, scripts/train.py:53-79)
+        done = traj["done"]  # [T, E, 1]
+        n_done = jnp.sum(done)
+        ep_stats = {
+            k: jnp.sum(v * done) / jnp.clip(n_done, 1, None)
+            for k, v in traj["stats"].items()
+        }
+        ep_stats["episode_count"] = n_done
+        new_carry = IterCarry(
+            ts=ts, env_state=env_state, obs=last_obs, state=last_state, key=key
+        )
+        return new_carry, metrics, ep_stats
+
+    return train_iter
+
+
+def init_carry(env, policy: MAPPOPolicy, key: jnp.ndarray) -> IterCarry:
+    """Reset the env and build the initial on-device carry.
+
+    TP params are created first because TP predictions feed the observation
+    (hideandseek.py:316-319, 834).
+    """
+    k_env, k_tp, k_policy, k_next = jax.random.split(key, 4)
+    tp_params = policy.init_tp(k_tp)
+    env_state = env.reset(k_env)
+    if hasattr(env, "observe_full"):
+        obs, state = env.observe_full(env_state, tp_params)
+    else:
+        obs, state = env.observe(env_state), None
+    ts = policy.init(k_policy, obs, state_example=state, tp_params=tp_params)
+    return IterCarry(ts=ts, env_state=env_state, obs=obs, state=state, key=k_next)

@@ -1,0 +1,101 @@
+"""Config system: frozen dataclasses + YAML + dotted CLI overrides.
+
+Counterpart of the reference's Hydra/OmegaConf tree (cfg/train.yaml,
+cfg/task/*.yaml, cfg/algo/mappo.yaml; SURVEY §5.6) without the Hydra
+dependency: task/algo configs are the frozen dataclasses defined next to
+their components, YAML files overlay field values, and CLI args use
+`section.field=value` syntax like Hydra's.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Type, TypeVar
+
+import yaml
+
+T = TypeVar("T")
+
+
+def _coerce(value: str, target_type) -> Any:
+    if target_type is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    if target_type in (tuple, list) or str(target_type).startswith(
+        ("typing.Tuple", "tuple")
+    ):
+        return tuple(json.loads(value))
+    if value.lower() in ("null", "none"):
+        return None
+    return value
+
+
+def apply_overrides(cfg: T, overrides: Dict[str, Any]) -> T:
+    """Overlay {field: value} onto a frozen dataclass, coercing strings."""
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    updates = {}
+    for k, v in overrides.items():
+        if k not in fields:
+            raise KeyError(
+                f"unknown config field {k!r} for {type(cfg).__name__}; "
+                f"valid: {sorted(fields)}"
+            )
+        if isinstance(v, str):
+            f = fields[k]
+            base = f.type if isinstance(f.type, type) else type(getattr(cfg, k))
+            try:
+                v = _coerce(v, base)
+            except (ValueError, json.JSONDecodeError):
+                pass
+        updates[k] = v
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_yaml_overrides(path: str | Path) -> Dict[str, Dict[str, Any]]:
+    """Load a YAML file of {section: {field: value}} overlays."""
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return data
+
+
+def parse_cli(
+    argv: Sequence[str],
+) -> tuple[Dict[str, Dict[str, Any]], Dict[str, Any]]:
+    """Parse `section.field=value` args (Hydra-style) plus bare
+    `key=value` top-level flags.  Returns (sections, top_level)."""
+    sections: Dict[str, Dict[str, Any]] = {}
+    top: Dict[str, Any] = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise ValueError(f"expected key=value, got {arg!r}")
+        key, value = arg.split("=", 1)
+        if "." in key:
+            sec, field = key.split(".", 1)
+            sections.setdefault(sec, {})[field] = value
+        else:
+            top[key] = value
+    return sections, top
+
+
+@dataclasses.dataclass(frozen=True)
+class RunCfg:
+    """Top-level run settings (reference cfg/train.yaml)."""
+
+    task: str = "HideAndSeek"
+    algo: str = "mappo"
+    seed: int = 0
+    total_frames: int = 10_000_000_000
+    max_iters: int = -1
+    eval_interval: int = -1
+    save_interval: int = 100
+    log_interval: int = 10
+    run_dir: str = "runs"
+    run_name: Optional[str] = None
+    model_dir: Optional[str] = None  # resume checkpoint
+    wandb_mode: str = "disabled"     # disabled | online | offline
+    wandb_project: str = "mupe_tpu"
+    wandb_entity: Optional[str] = None
