@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: HideAndSeek MAPPO env-steps/s on one TPU chip.
+
+Measures the reference's headline workload (BASELINE.md): 3-agent
+HideAndSeek with random cylinders, TP-net, and the full fused MAPPO
+training iteration (rollout 64 steps × num_envs arenas + PPO update),
+end-to-end on device.  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is measured against the driver-set north star of 1M aggregate
+env-steps/s per host (BASELINE.json; the reference publishes no numbers).
+"""
+import json
+import os
+import sys
+import time
+
+# NOTE: do not set JAX_COMPILATION_CACHE_DIR here — executable
+# serialization stalls compilation on the axon remote-compile backend.
+
+import jax
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+TRAIN_EVERY = int(os.environ.get("BENCH_TRAIN_EVERY", 64))
+WARMUP = 2
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
+
+
+def main():
+    from mupe_tpu.envs.hideandseek import HideAndSeek, HideAndSeekCfg
+    from mupe_tpu.learning import (
+        MAPPOCfg,
+        MAPPOPolicy,
+        init_carry,
+        make_train_iter,
+    )
+    from mupe_tpu.parallel import make_mesh, shard_carry
+
+    env_cfg = HideAndSeekCfg(num_envs=NUM_ENVS, max_episode_length=800)
+    env = HideAndSeek(env_cfg)
+    algo_cfg = MAPPOCfg(train_every=TRAIN_EVERY, use_tp_net=True)
+    policy = MAPPOPolicy(
+        algo_cfg,
+        n_agents=env.num_agents,
+        action_dim=4,
+        obs_is_dict=True,
+        tp_input_dim=env_cfg.tp_input_dim,
+    )
+    carry = init_carry(env, policy, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    if mesh.devices.size > 1:
+        carry = shard_carry(carry, mesh)
+    train_iter = jax.jit(make_train_iter(env, policy), donate_argnums=(0,))
+
+    for _ in range(WARMUP):
+        carry, metrics, _ = train_iter(carry)
+    jax.block_until_ready(metrics["policy_loss"])
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        carry, metrics, _ = train_iter(carry)
+    jax.block_until_ready(metrics["policy_loss"])
+    dt = time.time() - t0
+
+    steps_per_s = NUM_ENVS * TRAIN_EVERY * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hideandseek_mappo_env_steps_per_s",
+                "value": round(steps_per_s, 1),
+                "unit": "env-steps/s (1 chip, fused rollout+update, "
+                f"{NUM_ENVS} arenas x {TRAIN_EVERY} steps)",
+                "vs_baseline": round(steps_per_s / 1_000_000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

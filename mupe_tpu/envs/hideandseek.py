@@ -363,7 +363,7 @@ class HideAndSeek:
         # pairwise drone relative positions, off-diagonal (cpos+off_diag)
         rel = d.pos[:, :, None, :] - d.pos[:, None, :, :]  # [E, n, n, 3] i−j…
         # reference: cpos(p, p)[i, j] = p_i − p_j, off_diag drops j=i
-        mask_offdiag = ~jnp.eye(n, dtype=bool)
+        mask_offdiag = ~np.eye(n, dtype=bool)  # static mask → resolved at trace
         drone_rpos = rel[:, mask_offdiag].reshape(e, n, n - 1, 3)
 
         cyl_masked, cyl_raw, cyl_invalid = k_nearest_cylinders(

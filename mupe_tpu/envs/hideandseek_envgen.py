@@ -47,6 +47,7 @@ class HideAndSeekEnvgenCfg(HideAndSeekCfg):
     """AEG knobs (reference cfg/task/HideAndSeek_envgen.yaml:28-38)."""
 
     use_particle_generator: bool = True
+    use_init_easy_cases: bool = False
     ratio_unif: float = 0.3
     eval_iter: int = 3
     success_threshold: float = 1.0
@@ -103,6 +104,40 @@ class HideAndSeekEnvgen(HideAndSeek):
         drone_pos, _, target_pos, cylinders = self._sample_scene(key)
         return self._scene_to_tasks(drone_pos, target_pos, cylinders)
 
+    def _easy_history(self, seed: int = 0) -> jnp.ndarray:
+        """Bootstrap the history buffer with BFS-adjacent easy capture tasks
+        (GenBuffer.init_easy_cases, hideandseek_envgen.py:235-275) via the
+        native C++ generator (mupe_tpu/native/easy_tasks.cpp)."""
+        import numpy as np
+
+        from ..native import generate_easy_tasks
+        from .placement import grid_to_continuous
+
+        cfg: HideAndSeekEnvgenCfg = self.cfg
+        cells = generate_easy_tasks(
+            cfg.buffer_length, self.grid.num_grid, cfg.num_agents, seed
+        )  # [L, n+1, 2]
+        xy = np.asarray(grid_to_continuous(jnp.asarray(cells), self.grid))
+        rng = np.random.default_rng(seed)
+        z = (
+            rng.uniform(-0.1, 0.1, size=(cfg.buffer_length, cfg.num_agents + 1, 1))
+            + cfg.max_height / 2
+        ).astype(np.float32)
+        drone_target = np.concatenate([xy, z], axis=-1)  # [L, n+1, 3]
+        # park all cylinders underground: 0-obstacle easy tasks
+        cyl = np.zeros((cfg.buffer_length, cfg.num_cylinders, 3), np.float32)
+        cyl[..., 0] = np.arange(cfg.num_cylinders) * 2 * cfg.cylinder_size
+        cyl[..., 2] = INVALID_Z
+        tasks = np.concatenate(
+            [
+                drone_target[:, : cfg.num_agents].reshape(cfg.buffer_length, -1),
+                drone_target[:, cfg.num_agents :].reshape(cfg.buffer_length, -1),
+                cyl.reshape(cfg.buffer_length, -1),
+            ],
+            axis=-1,
+        )
+        return jnp.asarray(tasks)
+
     # -------------------------------------------------------------- reset
     def reset(self, key: jnp.ndarray) -> HideAndSeekState:
         cfg: HideAndSeekEnvgenCfg = self.cfg
@@ -112,6 +147,11 @@ class HideAndSeekEnvgen(HideAndSeek):
         gen = GenBufferState.create(
             cfg.buffer_length, cfg.num_envs, cfg.task_dim, cfg.ratio_unif
         ).replace(eval_tasks=tasks)
+        if cfg.use_init_easy_cases:
+            gen = gen.replace(
+                history=self._easy_history(),
+                history_len=jnp.asarray(cfg.buffer_length, jnp.int32),
+            )
         state = state.replace(gen=gen)
         return self._apply_tasks(state, tasks)
 

@@ -139,18 +139,25 @@ class MAPPOPolicy:
         obs_is_dict: bool,
         tp_input_dim: Optional[int] = None,
         state_is_dict: bool = True,
+        actor_module: Optional[nn.Module] = None,
+        critic_module: Optional[nn.Module] = None,
     ):
         self.cfg = cfg
         self.n_agents = n_agents
         self.action_dim = action_dim
         self.obs_is_dict = obs_is_dict
-        self.actor = Actor(
+        # modules are injectable so the PPO variant family (privileged
+        # branches, TConv history encoders, PointNet, transformer tokens —
+        # reference learning/ppo/*) can reuse this update machinery
+        self.actor = actor_module or Actor(
             action_dim=action_dim,
             hidden_units=cfg.hidden_units,
             attn_encoder=cfg.attn_encoder,
             obs_is_dict=obs_is_dict,
         )
-        if cfg.critic_input == "state":
+        if critic_module is not None:
+            self.critic = critic_module
+        elif cfg.critic_input == "state":
             self.critic = Critic(
                 out_dim=n_agents,
                 hidden_units=cfg.hidden_units,

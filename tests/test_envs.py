@@ -1,0 +1,123 @@
+"""Env-layer tests: Hover and HideAndSeek step/reset semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mupe_tpu.envs.hover import Hover, HoverCfg
+from mupe_tpu.envs.hideandseek import HideAndSeek, HideAndSeekCfg
+
+
+@pytest.fixture(scope="module")
+def hover_env():
+    return Hover(HoverCfg(num_envs=8, max_episode_length=10))
+
+
+def test_hover_obs_layout(hover_env):
+    state = hover_env.reset(jax.random.PRNGKey(0))
+    obs = hover_env.observe(state)
+    assert obs.shape == (8, 1, 20)
+    # rpos = target − pos
+    np.testing.assert_allclose(
+        np.asarray(obs[..., :3]),
+        np.asarray(state.target_pos - state.drone.pos),
+        atol=1e-6,
+    )
+
+
+def test_hover_autoreset(hover_env):
+    state = hover_env.reset(jax.random.PRNGKey(0))
+    stepf = jax.jit(hover_env.step)
+    key = jax.random.PRNGKey(1)
+    for i in range(10):
+        key, k1, k2 = jax.random.split(key, 3)
+        state, tr = stepf(state, jax.random.normal(k1, (8, 1, 4)), k2)
+    # at step 10 all envs hit max_episode_length → done, progress reset to 0
+    assert bool(tr.done.all())
+    np.testing.assert_array_equal(np.asarray(state.progress), 0)
+    # stats in the transition carry the finished episode; state stats zeroed
+    assert float(jnp.abs(tr.stats["return"]).sum()) > 0
+    assert float(jnp.abs(state.stats["return"]).sum()) == 0
+
+
+@pytest.fixture(scope="module")
+def has_env():
+    return HideAndSeek(
+        HideAndSeekCfg(num_envs=4, max_episode_length=12, num_agents=3)
+    )
+
+
+@pytest.fixture(scope="module")
+def has_setup(has_env):
+    import flax
+
+    key = jax.random.PRNGKey(0)
+    state = has_env.reset(key)
+    tp_params = has_env.tp_net.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, has_env.cfg.history_step, has_env.cfg.tp_input_dim)),
+    )
+    return state, tp_params
+
+
+def test_has_obs_shapes(has_env, has_setup):
+    state, tp_params = has_setup
+    obs, critic_state = has_env.observe_full(state, tp_params)
+    assert obs["state_self"].shape == (4, 3, 1, 35)
+    assert obs["state_others"].shape == (4, 3, 2, 3)
+    assert obs["cylinders"].shape == (4, 3, 3, 5)
+    assert critic_state["state_drones"].shape == (4, 3, 35)
+
+
+def test_has_spawn_regions(has_env, has_setup):
+    state, _ = has_setup
+    # drones spawn x>0, target x<0 (hideandseek.py:283-290)
+    assert np.all(np.asarray(state.drone.pos[..., 0]) > 0)
+    assert np.all(np.asarray(state.target_pos[..., 0]) < 0)
+    # active cylinders above ground within [min,max] count
+    active = np.asarray(state.cylinders[..., 2] > 0).sum(-1)
+    assert np.all((active >= 4) & (active <= 5))
+
+
+def test_has_cylinders_on_free_cells(has_env, has_setup):
+    state, _ = has_setup
+    # active cylinders inside the arena circle
+    cyl = np.asarray(state.cylinders)
+    active = cyl[..., 2] > 0
+    r = np.linalg.norm(cyl[..., :2], axis=-1)
+    assert np.all(r[active] <= has_env.cfg.arena_size)
+    # no two active cylinders share a cell (grid size 0.2)
+    for e in range(cyl.shape[0]):
+        act = cyl[e][active[e]]
+        cells = np.round(act[:, :2] / 0.2).astype(int)
+        assert len(np.unique(cells, axis=0)) == len(cells)
+
+
+def test_has_step_and_reward(has_env, has_setup):
+    state, tp_params = has_setup
+    stepf = jax.jit(has_env.step)
+    key = jax.random.PRNGKey(2)
+    for i in range(3):
+        key, k1, k2 = jax.random.split(key, 3)
+        action = jax.random.normal(k1, (4, 3, 4))
+        state, tr = stepf(state, action, k2, tp_params)
+    assert tr.reward.shape == (4, 3, 1)
+    assert not np.any(np.isnan(np.asarray(tr.reward)))
+    assert not np.any(np.isnan(np.asarray(tr.obs["state_self"])))
+    # evader moves at the componentwise-normalized speed (≤ √3·v_prey)
+    speed = np.linalg.norm(np.asarray(state.target_vel), axis=-1)
+    assert np.all(speed <= np.sqrt(3) * float(state.v_prey) + 1e-4)
+
+
+def test_has_masked_target_consistency(has_env, has_setup):
+    """With detect radius 100 and no blocking, target rpos is unmasked and
+    matches target_pos − drone_pos."""
+    state, tp_params = has_setup
+    obs, _ = has_env.observe_full(state, tp_params)
+    rpos = np.asarray(obs["state_self"][..., 0, :3])
+    expected = np.asarray(
+        state.drone.pos - state.target_pos
+    )  # cpos = drone − target
+    blocked_rows = np.all(rpos == -5.0, axis=-1)
+    ok = np.isclose(rpos, expected, atol=1e-5).all(-1) | blocked_rows
+    assert ok.all()

@@ -1,0 +1,146 @@
+"""Learning-layer tests: GAE golden values, value norm, distributions,
+MAPPO shapes, and the TP window supervision."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mupe_tpu.learning import ValueNorm1, ValueNorm2, compute_gae
+from mupe_tpu.learning.modules.distributions import DiagGaussianHead, Gaussian
+from mupe_tpu.learning.modules.networks import (
+    PartialAttentionEncoder,
+    FlatEncoder,
+)
+
+
+def reference_gae(reward, done, value, next_value, gamma, lmbda):
+    """Direct transcription of the reference loop (gae.py:54-74)."""
+    not_done = 1.0 - done.astype(np.float32)
+    t_len = reward.shape[0]
+    gae = np.zeros_like(next_value)
+    adv = np.zeros_like(reward)
+    nv = next_value
+    for step in reversed(range(t_len)):
+        delta = reward[step] + gamma * nv * not_done[step] - value[step]
+        gae = delta + gamma * lmbda * not_done[step] * gae
+        adv[step] = gae
+        nv = value[step]
+    return adv, adv + value
+
+
+def test_gae_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    t, n, k = 12, 5, 1
+    reward = rng.normal(size=(t, n, k)).astype(np.float32)
+    done = (rng.uniform(size=(t, n, 1)) < 0.2).astype(np.float32)
+    value = rng.normal(size=(t, n, k)).astype(np.float32)
+    next_value = rng.normal(size=(n, k)).astype(np.float32)
+    adv, ret = compute_gae(
+        jnp.asarray(reward), jnp.asarray(done), jnp.asarray(value),
+        jnp.asarray(next_value), gamma=0.995, lmbda=0.95,
+    )
+    ref_adv, ref_ret = reference_gae(reward, done, value, next_value, 0.995, 0.95)
+    np.testing.assert_allclose(np.asarray(adv), ref_adv, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ret), ref_ret, atol=1e-4)
+
+
+def test_valuenorm1_round_trip():
+    vn = ValueNorm1.create((1,), beta=0.9)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(5.0, 3.0, size=(1000, 1)).astype(np.float32))
+    for _ in range(20):
+        vn = vn.update(x)
+    y = vn.normalize(x)
+    assert abs(float(jnp.mean(y))) < 0.2
+    np.testing.assert_allclose(np.asarray(vn.denormalize(y)), np.asarray(x), atol=1e-3)
+
+
+def test_valuenorm2_welford():
+    vn = ValueNorm2.create((1,))
+    rng = np.random.default_rng(2)
+    xs = rng.normal(2.0, 4.0, size=(10, 500, 1)).astype(np.float32)
+    for x in xs:
+        vn = vn.update(jnp.asarray(x))
+    np.testing.assert_allclose(float(vn.running_mean[0]), xs.mean(), atol=0.05)
+    np.testing.assert_allclose(
+        float(jnp.sqrt(vn.running_var)[0]), xs.std(), rtol=0.05
+    )
+
+
+def test_gaussian_log_prob_matches_scipy():
+    from scipy import stats as sstats
+
+    mean = jnp.asarray([[0.5, -1.0]])
+    log_std = jnp.asarray([[0.1, -0.3]])
+    g = Gaussian(mean, log_std)
+    x = jnp.asarray([[0.2, 0.4]])
+    expected = sstats.norm.logpdf(
+        np.asarray(x), np.asarray(mean), np.exp(np.asarray(log_std))
+    ).sum(-1)
+    np.testing.assert_allclose(np.asarray(g.log_prob(x)), expected, atol=1e-5)
+    # entropy of indep gaussians
+    expected_ent = (np.asarray(log_std) + 0.5 * np.log(2 * np.pi * np.e)).sum(-1)
+    np.testing.assert_allclose(np.asarray(g.entropy()), expected_ent, atol=1e-5)
+
+
+def test_attention_encoder_shapes():
+    enc = PartialAttentionEncoder()
+    obs = {
+        "state_self": jnp.zeros((7, 3, 1, 35)),
+        "state_others": jnp.zeros((7, 3, 2, 3)),
+        "cylinders": jnp.zeros((7, 3, 3, 5)),
+    }
+    params = enc.init(jax.random.PRNGKey(0), obs)
+    out = enc.apply(params, obs)
+    assert out.shape == (7, 3, 128)
+
+
+def test_flat_encoder_shapes():
+    enc = FlatEncoder((64, 32))
+    x = jnp.zeros((5, 1, 20))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    assert enc.apply(params, x).shape == (5, 1, 32)
+
+
+def test_diag_gaussian_head_init_small_mean():
+    head = DiagGaussianHead(action_dim=4)
+    params = head.init(jax.random.PRNGKey(0), jnp.ones((3, 128)))
+    dist = head.apply(params, jnp.ones((3, 128)))
+    # gain 0.01 ⇒ near-zero initial means, unit std
+    assert float(jnp.abs(dist.mean).max()) < 0.1
+    np.testing.assert_allclose(np.asarray(dist.std), 1.0, atol=1e-6)
+
+
+def test_mappo_end_to_end_tiny():
+    """One fused train iteration on the Hover env: finite losses, changed params."""
+    from mupe_tpu.envs.hover import Hover, HoverCfg
+    from mupe_tpu.learning import (
+        MAPPOCfg,
+        MAPPOPolicy,
+        init_carry,
+        make_train_iter,
+    )
+
+    env = Hover(HoverCfg(num_envs=8, max_episode_length=16))
+    cfg = MAPPOCfg(
+        train_every=8, num_minibatches=2, ppo_epochs=1, hidden_units=(32, 32)
+    )
+    policy = MAPPOPolicy(cfg, n_agents=1, action_dim=4, obs_is_dict=False)
+    carry = init_carry(env, policy, jax.random.PRNGKey(0))
+    before = jax.tree_util.tree_leaves(carry.ts.actor_params)[0].copy()
+    train_iter = jax.jit(make_train_iter(env, policy))
+    carry, metrics, stats = train_iter(carry)
+    assert np.isfinite(float(metrics["policy_loss"]))
+    assert np.isfinite(float(metrics["value_loss"]))
+    after = jax.tree_util.tree_leaves(carry.ts.actor_params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_tp_net_shapes_and_range():
+    from mupe_tpu.learning import TPNet
+
+    net = TPNet(output_dim=15)
+    x = jnp.ones((4, 10, 13))
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (4, 15)
+    assert float(jnp.abs(y).max()) <= 1.0
