@@ -49,7 +49,7 @@ def main():
     mesh = make_mesh()
     if mesh.devices.size > 1:
         carry = shard_carry(carry, mesh)
-    train_iter = jax.jit(make_train_iter(env, policy), donate_argnums=(0,))
+    train_iter = jax.jit(make_train_iter(env, policy))
 
     for _ in range(WARMUP):
         carry, metrics, _ = train_iter(carry)

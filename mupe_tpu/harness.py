@@ -101,7 +101,7 @@ def train(
     mesh = make_mesh()
     if mesh.devices.size > 1:
         carry = shard_carry(carry, mesh)
-    train_iter = jax.jit(make_train_iter(env, policy), donate_argnums=(0,))
+    train_iter = jax.jit(make_train_iter(env, policy))
 
     frames_per_iter = env.num_envs * algo_cfg.train_every
     if run_cfg.max_iters > 0:

@@ -162,3 +162,41 @@ class MultiCategorical(NamedTuple):
             p = jax.nn.softmax(l, axis=-1)
             ent = ent + (-jnp.sum(p * jax.nn.log_softmax(l, axis=-1), axis=-1))
         return ent
+
+
+class TwoHot(NamedTuple):
+    """Two-hot discretized scalar distribution over fixed support
+    (distributions.py:384-427): a categorical whose mean interpolates
+    between adjacent bins; log_prob targets are two-hot encodings."""
+
+    logits: jnp.ndarray            # (..., n_bins)
+    low: float = -20.0
+    high: float = 20.0
+
+    @property
+    def support(self) -> jnp.ndarray:
+        return jnp.linspace(self.low, self.high, self.logits.shape[-1])
+
+    @property
+    def mean(self) -> jnp.ndarray:
+        probs = jax.nn.softmax(self.logits, axis=-1)
+        return jnp.sum(probs * self.support, axis=-1, keepdims=True)
+
+    @property
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+    def log_prob(self, value: jnp.ndarray) -> jnp.ndarray:
+        """Cross-entropy against the two-hot encoding of `value` (..., 1)."""
+        support = self.support
+        n = support.shape[0]
+        v = jnp.clip(value[..., 0], self.low, self.high)
+        idx = jnp.clip(
+            jnp.searchsorted(support, v, side="right") - 1, 0, n - 2
+        )
+        lo, hi = support[idx], support[idx + 1]
+        w_hi = (v - lo) / (hi - lo)
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        lp_lo = jnp.take_along_axis(logp, idx[..., None], axis=-1)[..., 0]
+        lp_hi = jnp.take_along_axis(logp, idx[..., None] + 1, axis=-1)[..., 0]
+        return (1.0 - w_hi) * lp_lo + w_hi * lp_hi

@@ -166,3 +166,47 @@ def make_encoder(cfg_hidden_units, attn_encoder: str, obs_is_dict: bool) -> nn.M
     if obs_is_dict:
         return ENCODERS_MAP[attn_encoder]()
     return FlatEncoder(tuple(cfg_hidden_units))
+
+
+class ConvVisionEncoder(nn.Module):
+    """Compact conv encoder for depth/rgb frames.
+
+    Stands in for the reference's torchvision MobileNetV3-Small branch
+    (networks.py:371-428) — vision is viz-only in the paper's tasks, so a
+    small strided CNN is the TPU-friendly choice (dense convs, static
+    shapes); swap in a full MobileNet port if vision tasks land.
+    """
+
+    out_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (..., H, W, C)
+        batch_shape = x.shape[:-3]
+        h = x.reshape((-1,) + x.shape[-3:])
+        for feat in (16, 32, 64):
+            h = nn.Conv(feat, (3, 3), strides=(2, 2))(h)
+            h = nn.relu(h)
+        h = jnp.mean(h, axis=(-3, -2))  # global average pool
+        h = nn.Dense(self.out_dim)(h)
+        return h.reshape(batch_shape + (self.out_dim,))
+
+
+class MixedObsEncoder(nn.Module):
+    """Vision branch + state branch, concatenated then projected
+    (MixedEncoder, networks.py:322-368)."""
+
+    vision_keys: Sequence[str]
+    state_hidden: Sequence[int] = (256, 256)
+    out_dim: int = 256
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        feats = []
+        for key in obs.keys():
+            if key in self.vision_keys:
+                feats.append(ConvVisionEncoder(name=f"vision_{key}")(obs[key]))
+            else:
+                feats.append(MLP(tuple(self.state_hidden))(obs[key]))
+        x = jnp.concatenate(feats, axis=-1)
+        return MLP((self.out_dim,))(x)
