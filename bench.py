@@ -31,7 +31,7 @@ def main():
         MAPPOCfg,
         MAPPOPolicy,
         init_carry,
-        make_train_iter,
+        make_split_train_iter,
     )
     from mupe_tpu.parallel import make_mesh, shard_carry
 
@@ -49,7 +49,7 @@ def main():
     mesh = make_mesh()
     if mesh.devices.size > 1:
         carry = shard_carry(carry, mesh)
-    train_iter = jax.jit(make_train_iter(env, policy))
+    train_iter = make_split_train_iter(env, policy)
 
     for _ in range(WARMUP):
         carry, metrics, _ = train_iter(carry)
@@ -67,7 +67,7 @@ def main():
             {
                 "metric": "hideandseek_mappo_env_steps_per_s",
                 "value": round(steps_per_s, 1),
-                "unit": "env-steps/s (1 chip, fused rollout+update, "
+                "unit": "env-steps/s (1 chip, rollout+update, "
                 f"{NUM_ENVS} arenas x {TRAIN_EVERY} steps)",
                 "vs_baseline": round(steps_per_s / 1_000_000.0, 3),
             }

@@ -19,7 +19,8 @@ from .envs import ENV_REGISTRY
 from .envs.hover import Hover, HoverCfg
 from .envs.hideandseek import HideAndSeek, HideAndSeekCfg
 from .envs.hideandseek_envgen import HideAndSeekEnvgen, HideAndSeekEnvgenCfg
-from .learning import MAPPOCfg, MAPPOPolicy, init_carry, make_train_iter
+from .learning import (MAPPOCfg, MAPPOPolicy, init_carry,
+                       make_split_train_iter, make_train_iter)
 from .parallel import make_mesh, shard_carry
 from .utils.checkpoint import load_checkpoint, save_checkpoint
 from .utils.config import RunCfg, apply_overrides, parse_cli
@@ -101,7 +102,9 @@ def train(
     mesh = make_mesh()
     if mesh.devices.size > 1:
         carry = shard_carry(carry, mesh)
-    train_iter = jax.jit(make_train_iter(env, policy))
+    # split rollout/update programs: bounded compile time on the TPU
+    # relay backend (see learning/rollout.py)
+    train_iter = make_split_train_iter(env, policy)
 
     frames_per_iter = env.num_envs * algo_cfg.train_every
     if run_cfg.max_iters > 0:

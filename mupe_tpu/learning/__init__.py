@@ -1,6 +1,6 @@
 from .gae import compute_gae
 from .mappo import MAPPOCfg, MAPPOPolicy, MAPPOState, RolloutBatch
-from .rollout import IterCarry, init_carry, make_train_iter
+from .rollout import IterCarry, init_carry, make_split_train_iter, make_train_iter
 from .tp_net import TPNet, denormalize_predictions, normalize_groundtruth
 from .valuenorm import ValueNorm1, ValueNorm2
 
@@ -13,6 +13,7 @@ __all__ = [
     "IterCarry",
     "init_carry",
     "make_train_iter",
+    "make_split_train_iter",
     "TPNet",
     "denormalize_predictions",
     "normalize_groundtruth",

@@ -30,11 +30,17 @@ class IterCarry:
 
 
 def make_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
-    """Build the jitted `train_iter(carry) -> (carry, metrics, ep_stats)`.
+    """Build the fully-fused `train_iter(carry) -> (carry, metrics, ep_stats)`
+    — one pure function for one `jax.jit` call.
 
     `env` must expose `step(state, action, key[, tp_params]) -> (state,
     Transition)`; Transition.info may carry "tp_input"/"tp_gt"/"tp_done" and
     "state" (centralized critic input).
+
+    NOTE: on backends where XLA compile time grows with the fused program
+    (observed on the relayed TPU backend at large num_envs), prefer
+    `make_split_train_iter`, which compiles rollout and update as two
+    smaller programs with identical semantics.
     """
     cfg = policy.cfg
     uses_tp = policy.tp_net is not None and getattr(env, "provides_tp", False)
@@ -109,18 +115,112 @@ def make_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
     return train_iter
 
 
+def make_split_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
+    """Semantically identical to `make_train_iter`, but compiled as TWO
+    XLA programs — a rollout scan and the PPO/TP update — plus a tiny stats
+    reducer.  All data stays on device between the calls; the only cost is
+    two extra program dispatches per iteration.  This keeps XLA compile
+    time bounded on backends where the fused program's compile blows up
+    with num_envs (see the NOTE on `make_train_iter`).
+    """
+    cfg = policy.cfg
+    uses_tp = policy.tp_net is not None and getattr(env, "provides_tp", False)
+
+    def rollout_step(carry, key):
+        ts, env_state, obs, state = carry
+        k_act, k_env = jax.random.split(key)
+        action, logp, value = policy.act(
+            ts, obs, k_act, deterministic=deterministic, state=state
+        )
+        if uses_tp:
+            env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
+        else:
+            env_state, tr = env.step(env_state, action, k_env)
+        collected = {
+            "obs": obs,
+            "action": action,
+            "logp": logp,
+            "value": value,
+            "reward": tr.reward,
+            "done": tr.done,
+            "stats": tr.stats,
+        }
+        if cfg.critic_input == "state":
+            collected["state"] = state
+        if uses_tp:
+            collected["tp_input"] = tr.info["tp_input"]
+            collected["tp_gt"] = tr.info["tp_gt"]
+            collected["tp_done"] = tr.info["tp_done"]
+        next_state_input = tr.info.get("state") if isinstance(tr.info, dict) else None
+        return (ts, env_state, tr.obs, next_state_input), collected
+
+    @jax.jit
+    def rollout_prog(carry: IterCarry):
+        key, k_roll = jax.random.split(carry.key)
+        step_keys = jax.random.split(k_roll, cfg.train_every)
+        (ts, env_state, last_obs, last_state), traj = jax.lax.scan(
+            rollout_step,
+            (carry.ts, carry.env_state, carry.obs, carry.state),
+            step_keys,
+        )
+        done = traj["done"]
+        n_done = jnp.sum(done)
+        ep_stats = {
+            k: jnp.sum(v * done) / jnp.clip(n_done, 1, None)
+            for k, v in traj["stats"].items()
+        }
+        ep_stats["episode_count"] = n_done
+        traj = {k: v for k, v in traj.items() if k != "stats"}
+        new_carry = IterCarry(
+            ts=ts, env_state=env_state, obs=last_obs, state=last_state, key=key
+        )
+        return new_carry, traj, ep_stats
+
+    @jax.jit
+    def update_prog(carry: IterCarry, traj):
+        key, k_train = jax.random.split(carry.key)
+        batch = RolloutBatch(
+            obs=traj["obs"],
+            action=traj["action"],
+            logp=traj["logp"],
+            value=traj["value"],
+            reward=traj["reward"],
+            done=traj["done"],
+            last_obs=carry.obs,
+            state=traj.get("state"),
+            last_state=carry.state,
+            tp_input=traj.get("tp_input"),
+            tp_gt=traj.get("tp_gt"),
+            tp_done=traj.get("tp_done"),
+        )
+        ts, metrics = policy.train_op(carry.ts, batch, k_train)
+        return carry.replace(ts=ts, key=key), metrics
+
+    def train_iter(carry: IterCarry):
+        carry, traj, ep_stats = rollout_prog(carry)
+        carry, metrics = update_prog(carry, traj)
+        return carry, metrics, ep_stats
+
+    return train_iter
+
+
 def init_carry(env, policy: MAPPOPolicy, key: jnp.ndarray) -> IterCarry:
     """Reset the env and build the initial on-device carry.
 
     TP params are created first because TP predictions feed the observation
-    (hideandseek.py:316-319, 834).
+    (hideandseek.py:316-319, 834).  Every stage is jitted: eager op-by-op
+    execution of the reset graph is pathologically slow on relayed TPU
+    backends (one program per op), while the jitted versions compile in
+    seconds and run once.
     """
     k_env, k_tp, k_policy, k_next = jax.random.split(key, 4)
-    tp_params = policy.init_tp(k_tp)
-    env_state = env.reset(k_env)
+    tp_params = jax.jit(policy.init_tp)(k_tp) if policy.tp_net else None
+    env_state = jax.jit(env.reset)(k_env)
     if hasattr(env, "observe_full"):
-        obs, state = env.observe_full(env_state, tp_params)
+        obs, state = jax.jit(env.observe_full)(env_state, tp_params)
     else:
-        obs, state = env.observe(env_state), None
-    ts = policy.init(k_policy, obs, state_example=state, tp_params=tp_params)
+        obs, state = jax.jit(env.observe)(env_state), None
+    ts = jax.jit(
+        lambda k, o, s, tp: policy.init(k, o, state_example=s, tp_params=tp)
+    )(k_policy, obs, state, tp_params)
     return IterCarry(ts=ts, env_state=env_state, obs=obs, state=state, key=k_next)

@@ -25,7 +25,12 @@ class TPNet(nn.Module):
         batch_shape = x.shape[:-2]
         t = x.shape[-2]
         xf = x.reshape((-1, t, x.shape[-1]))
-        outs = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim), name="lstm")(xf)
+        # unroll the (short, fixed) history window: removes a nested while
+        # loop from the enclosing rollout scan, which costs disproportionate
+        # XLA compile time and serializes tiny matmuls at run time
+        outs = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden_dim), unroll=16, name="lstm"
+        )(xf)
         last = outs[:, -1, :]
         y = nn.Dense(self.output_dim, name="fc")(last)
         return jnp.tanh(y).reshape(batch_shape + (self.output_dim,))

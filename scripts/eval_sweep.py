@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint on all four fixed scenarios
+(reference protocol: README.md:147-149 — wall, narrow_gap, random, passage).
+
+Usage: python scripts/eval_sweep.py model_dir=runs/<run>/checkpoints [env.num_envs=N]
+"""
+import json
+import sys
+
+from mupe_tpu.envs.scenarios import EVAL_SCENARIOS
+from mupe_tpu.harness import evaluate
+
+if __name__ == "__main__":
+    base = [a for a in sys.argv[1:] if not a.startswith("env.scenario_flag")]
+    results = {}
+    for flag in EVAL_SCENARIOS:
+        print(f"--- scenario: {flag}")
+        res = evaluate(
+            base
+            + [
+                f"env.scenario_flag={flag}",
+                "env.use_random_cylinder=false",
+                "env.use_eval=true",
+            ]
+        )
+        results[flag] = {
+            k: res[k]
+            for k in ("success", "first_capture_step", "collision")
+            if k in res
+        }
+    print(json.dumps(results, indent=2))

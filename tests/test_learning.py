@@ -144,3 +144,29 @@ def test_tp_net_shapes_and_range():
     y = net.apply(params, x)
     assert y.shape == (4, 15)
     assert float(jnp.abs(y).max()) <= 1.0
+
+
+def test_split_train_iter_matches_interface():
+    """Split rollout/update programs run and update params like the fused."""
+    from mupe_tpu.envs.hover import Hover, HoverCfg
+    from mupe_tpu.learning import (
+        MAPPOCfg,
+        MAPPOPolicy,
+        init_carry,
+        make_split_train_iter,
+    )
+
+    env = Hover(HoverCfg(num_envs=8, max_episode_length=16))
+    cfg = MAPPOCfg(
+        train_every=8, num_minibatches=2, ppo_epochs=1, hidden_units=(32, 32)
+    )
+    policy = MAPPOPolicy(cfg, n_agents=1, action_dim=4, obs_is_dict=False)
+    carry = init_carry(env, policy, jax.random.PRNGKey(0))
+    train_iter = make_split_train_iter(env, policy)
+    before = jax.tree_util.tree_leaves(carry.ts.actor_params)[0].copy()
+    carry, metrics, stats = train_iter(carry)
+    carry, metrics, stats = train_iter(carry)
+    assert np.isfinite(float(metrics["policy_loss"]))
+    after = jax.tree_util.tree_leaves(carry.ts.actor_params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    assert "episode_count" in stats
