@@ -87,11 +87,19 @@ def k_nearest_cylinders(
     )
     inactive = cylinder_pos[..., 2] < 0.0                          # [E, C]
     mdist = jnp.linalg.norm(rpos, axis=-1) - cylinder_size         # [E, n, C]
-    # k smallest via top_k on negated distances (stable & fused on TPU)
-    _, idx = jax.lax.top_k(-mdist, k)
-    raw = jnp.take_along_axis(feat, idx[..., None], axis=2)
-    invalid = jnp.take_along_axis(
-        jnp.broadcast_to(inactive[:, None, :], (e, n, c)), idx, axis=2
-    )
+
+    # Selection WITHOUT top_k/gather: TPU gathers are scalar-core bound and
+    # dominate the env step at these tiny shapes ([E,n,5]→k=3).  Instead,
+    # rank each cylinder by pairwise comparison (ties broken by index, which
+    # reproduces top_k's stable order) and select with a one-hot sum — pure
+    # VPU elementwise + reduce over C, fully fused by XLA.
+    di = mdist[..., :, None]                                       # [E,n,C,1]
+    dj = mdist[..., None, :]                                       # [E,n,1,C]
+    lt = (dj < di) | ((dj == di) & (jnp.arange(c)[:, None] > jnp.arange(c)[None, :]))
+    rank = jnp.sum(lt, axis=-1)                                    # [E,n,C]
+    onehot = rank[..., None, :] == jnp.arange(k)[:, None]          # [E,n,k,C]
+    sel = onehot.astype(feat.dtype)
+    raw = jnp.sum(sel[..., None] * feat[..., None, :, :], axis=-2)  # [E,n,k,5]
+    invalid = jnp.any(onehot & inactive[:, None, None, :], axis=-1)  # [E,n,k]
     masked = jnp.where(invalid[..., None], mask_value, raw)
     return masked, raw, invalid

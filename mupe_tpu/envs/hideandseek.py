@@ -518,10 +518,6 @@ class HideAndSeek:
         target_dist = jnp.linalg.norm(
             target_pos - drone.pos, axis=-1
         )  # [E, n]
-        cyl_masked, cyl_raw, cyl_invalid = k_nearest_cylinders(
-            drone.pos, mid.cylinders, cfg.cylinder_size, cfg.max_height,
-            cfg.obs_max_cylinder, cfg.mask_value,
-        )
 
         # --- reward (hideandseek.py:919-1006)
         active_dist = (target_dist > cfg.catch_radius).astype(jnp.float32)
@@ -567,11 +563,18 @@ class HideAndSeek:
             speed_reward, axis=-1, keepdims=True
         )
 
-        # collisions: k-nearest cylinders (XY), other drones, wall
-        cyl_xy_dist = jnp.linalg.norm(cyl_raw[..., :2], axis=-1)  # [E, n, k]
+        # collisions: cylinders (XY), other drones, wall.  The reference sums
+        # over the k-nearest gather (hideandseek.py:962-969); summing over ALL
+        # active cylinders is equivalent (a colliding cylinder is always among
+        # the 3 nearest at these radii) and avoids a second k-NN selection.
+        cyl_rpos_xy = (
+            mid.cylinders[:, None, :, :2] - drone.pos[:, :, None, :2]
+        )  # [E, n, C, 2]
+        cyl_xy_dist = jnp.linalg.norm(cyl_rpos_xy, axis=-1)       # [E, n, C]
+        cyl_active = (mid.cylinders[..., 2] >= 0.0)[:, None, :]   # [E, 1, C]
         coll_cyl = (
             (cyl_xy_dist - cfg.cylinder_size < cfg.collision_radius)
-            & (~cyl_invalid)
+            & cyl_active
         ).astype(jnp.float32).sum(-1)
         collision_reward = -cfg.collision_coef * coll_cyl
         st["collision_cylinder"] = st["collision_cylinder"] + jnp.mean(

@@ -65,6 +65,9 @@ class MAPPOCfg:
     huber_delta: float = 10.0
     future_prediction_step: int = 5
     window_step: int = 1
+    # compute dtype for encoder trunks ("bfloat16" | "float32"); params,
+    # heads, losses, and optimizer state stay float32 (mixed precision)
+    compute_dtype: str = "bfloat16"
 
 
 class Actor(nn.Module):
@@ -74,11 +77,15 @@ class Actor(nn.Module):
     hidden_units: Tuple[int, ...]
     attn_encoder: str
     obs_is_dict: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, obs) -> Gaussian:
-        feats = make_encoder(self.hidden_units, self.attn_encoder, self.obs_is_dict)(obs)
-        return DiagGaussianHead(self.action_dim)(feats)
+        feats = make_encoder(
+            self.hidden_units, self.attn_encoder, self.obs_is_dict, self.dtype
+        )(obs)
+        # head in float32: action log-probs feed PPO importance ratios
+        return DiagGaussianHead(self.action_dim)(feats.astype(jnp.float32))
 
 
 class Critic(nn.Module):
@@ -88,13 +95,16 @@ class Critic(nn.Module):
     hidden_units: Tuple[int, ...]
     attn_encoder: str
     obs_is_dict: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, obs) -> jnp.ndarray:
-        feats = make_encoder(self.hidden_units, self.attn_encoder, self.obs_is_dict)(obs)
+        feats = make_encoder(
+            self.hidden_units, self.attn_encoder, self.obs_is_dict, self.dtype
+        )(obs)
         return nn.Dense(
             self.out_dim, kernel_init=nn.initializers.orthogonal(0.01)
-        )(feats)
+        )(feats.astype(jnp.float32))
 
 
 @struct.dataclass
@@ -146,6 +156,7 @@ class MAPPOPolicy:
         self.n_agents = n_agents
         self.action_dim = action_dim
         self.obs_is_dict = obs_is_dict
+        dtype = jnp.dtype(cfg.compute_dtype)
         # modules are injectable so the PPO variant family (privileged
         # branches, TConv history encoders, PointNet, transformer tokens —
         # reference learning/ppo/*) can reuse this update machinery
@@ -154,6 +165,7 @@ class MAPPOPolicy:
             hidden_units=cfg.hidden_units,
             attn_encoder=cfg.attn_encoder,
             obs_is_dict=obs_is_dict,
+            dtype=dtype,
         )
         if critic_module is not None:
             self.critic = critic_module
@@ -163,6 +175,7 @@ class MAPPOPolicy:
                 hidden_units=cfg.hidden_units,
                 attn_encoder=cfg.attn_encoder,
                 obs_is_dict=state_is_dict,
+                dtype=dtype,
             )
         else:
             self.critic = Critic(
@@ -170,6 +183,7 @@ class MAPPOPolicy:
                 hidden_units=cfg.hidden_units,
                 attn_encoder=cfg.attn_encoder,
                 obs_is_dict=obs_is_dict,
+                dtype=dtype,
             )
         self.tp_net = (
             TPNet(
