@@ -55,6 +55,23 @@ class FlatEncoder(nn.Module):
         return MLP(self.hidden_units, self.layer_norm, dtype=self.dtype)(x)
 
 
+def entity_group_order(keys) -> list:
+    """Canonical entity-group order: the self/query group first, the rest
+    sorted.
+
+    JAX pytree round-trips (scan carries, jit boundaries, flatten/unflatten)
+    rebuild dicts in sorted-key order, so relying on insertion order would
+    silently move the attention query token (the reference puts `state_self`
+    first per its CompositeSpec order, networks.py:250-313).  Attention and
+    sum-pooling are permutation-invariant over the non-query tokens, so
+    pinning "query group first, rest sorted" fixes the semantics for every
+    dict ordering."""
+    keys = list(keys)
+    self_keys = [k for k in keys if k in ("state_self", "state_drones")]
+    rest = sorted(k for k in keys if k not in ("state_self", "state_drones"))
+    return self_keys + rest
+
+
 class SplitEmbedding(nn.Module):
     """Per-key linear embedding of entity groups, concatenated along the
     entity axis and LayerNormed (networks.py:125-163)."""
@@ -69,7 +86,7 @@ class SplitEmbedding(nn.Module):
             nn.Dense(self.embed_dim, name=f"embed_{key}", dtype=self.dtype)(
                 obs[key]
             )
-            for key in obs.keys()
+            for key in entity_group_order(obs.keys())
         ]
         x = jnp.concatenate(embeds, axis=-2)
         if self.layer_norm:

@@ -170,3 +170,34 @@ def test_split_train_iter_matches_interface():
     after = jax.tree_util.tree_leaves(carry.ts.actor_params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
     assert "episode_count" in stats
+
+
+def test_encoder_dict_order_invariance():
+    """The attention query must be the state_self token regardless of dict
+    insertion order (JAX pytree round-trips sort dict keys)."""
+    import jax
+    import jax.numpy as jnp
+    from mupe_tpu.learning.modules.networks import (
+        PartialAttentionEncoder,
+        entity_group_order,
+    )
+
+    assert entity_group_order(["cylinders", "state_others", "state_self"]) == [
+        "state_self", "cylinders", "state_others",
+    ]
+    enc = PartialAttentionEncoder()
+    a = {
+        "state_self": jnp.ones((2, 1, 35)),
+        "state_others": jnp.zeros((2, 2, 3)),
+        "cylinders": jnp.full((2, 3, 5), -5.0),
+    }
+    b = {k: a[k] for k in sorted(a)}  # pytree-style sorted insertion order
+    p = enc.init(jax.random.PRNGKey(0), a)
+    out_a = enc.apply(p, a)
+    out_b = enc.apply(p, b)
+    assert jnp.allclose(out_a, out_b)
+    # and the query actually responds to state_self: perturb it
+    # (non-uniformly — LayerNorm is invariant to input scaling at zero bias)
+    a2 = dict(a)
+    a2["state_self"] = a["state_self"] + jnp.arange(35.0)
+    assert not jnp.allclose(enc.apply(p, a2), out_a)
