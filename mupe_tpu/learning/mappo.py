@@ -69,6 +69,10 @@ class MAPPOCfg:
     # compute dtype for encoder trunks ("bfloat16" | "float32"); params,
     # heads, losses, and optimizer state stay float32 (mixed precision)
     compute_dtype: str = "bfloat16"
+    # fuse the encoder+head fwd/bwd into single Pallas kernels inside the
+    # PPO update (TPU only; dict obs + PartialAttentionEncoder + shared
+    # actor).  See mupe_tpu/ops/fused_encoder.py.
+    use_fused_encoder: bool = True
 
 
 class Actor(nn.Module):
@@ -158,6 +162,7 @@ class MAPPOPolicy:
         self.action_dim = action_dim
         self.obs_is_dict = obs_is_dict
         dtype = jnp.dtype(cfg.compute_dtype)
+        self._default_modules = actor_module is None and critic_module is None
         # modules are injectable so the PPO variant family (privileged
         # branches, TConv history encoders, PointNet, transformer tokens —
         # reference learning/ppo/*) can reuse this update machinery
@@ -257,7 +262,43 @@ class MAPPOPolicy:
         )
 
     # ------------------------------------------------------------------ fwd
+    def _fused_ok(self, obs) -> bool:
+        """Whether the Pallas fused encoder applies to this configuration."""
+        return (
+            self.cfg.use_fused_encoder
+            and self.cfg.share_actor
+            and self.obs_is_dict
+            and isinstance(obs, dict)
+            and self.cfg.attn_encoder == "PartialAttentionEncoder"
+            and self._default_modules
+        )
+
+    def _fused_apply(self, params, obs, head_dim: int) -> jnp.ndarray:
+        """Fused encoder+head forward: [..., head_dim] (grads flow through
+        extract_leaves back into the flax param tree)."""
+        from ..ops.fused_encoder import (
+            EncoderSpec,
+            extract_leaves,
+            fused_encoder_head,
+            pack_obs,
+        )
+        from .modules.networks import entity_group_order
+
+        names = entity_group_order(obs.keys())
+        groups = tuple((obs[n].shape[-2], obs[n].shape[-1]) for n in names)
+        spec = EncoderSpec(groups=groups, head_dim=head_dim)
+        leaves = extract_leaves(spec, params, names)
+        x, lead = pack_obs(spec, obs, names)
+        out = fused_encoder_head(spec, leaves, x)
+        return out.reshape(lead + (head_dim,))
+
     def _actor_dist(self, actor_params, obs) -> Gaussian:
+        if self.cfg.share_actor and self._fused_ok(obs):
+            mean = self._fused_apply(actor_params, obs, self.action_dim)
+            log_std = actor_params["params"]["DiagGaussianHead_0"]["log_std"]
+            return Gaussian(
+                mean=mean, log_std=jnp.broadcast_to(log_std, mean.shape)
+            )
         if self.cfg.share_actor:
             return self.actor.apply(actor_params, obs)
         # per-agent stacked params, vmapped over the agent axis
@@ -273,6 +314,8 @@ class MAPPOPolicy:
         if self.cfg.critic_input == "state":
             v = self.critic.apply(ts.critic_params, state)  # [..., n]
             return v[..., None]
+        if self._fused_ok(obs):
+            return self._fused_apply(ts.critic_params, obs, 1)
         return self.critic.apply(ts.critic_params, obs)  # [..., n, 1]
 
     def act(

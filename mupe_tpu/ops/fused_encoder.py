@@ -1,0 +1,518 @@
+"""Fused Pallas TPU kernels for the PartialAttentionEncoder + linear head.
+
+The MAPPO update's hot op is fwd+bwd of a tiny entity-attention encoder
+(reference networks.py:250-313 + head) over ~50k samples per minibatch, 128
+times per training iteration.  XLA executes it as ~60 small kernels with all
+intermediates round-tripping HBM (~17% MXU).  Here the whole network is ONE
+Pallas kernel per direction:
+
+- `fwd`: grid over sample tiles; all activations stay in VMEM; params are
+  VMEM-resident across grid steps (constant index map).
+- `bwd`: recomputes the forward per tile (FLOPs are nearly free at these
+  shapes), then backpropagates, accumulating parameter gradients in VMEM
+  output blocks across sequential grid steps (TPU grids are sequential per
+  core) and writing them once at the end.
+
+The kernels are exposed through `fused_encoder_head`, a `jax.custom_vjp`
+function over a canonical tuple of parameter leaves extracted from the flax
+param tree (`extract_leaves` / `rebuild_grads`), so `jax.grad` of any loss
+through it works unchanged.  `reference_apply` is the same math in plain
+jnp — the CPU fallback and the golden model for kernel tests.
+
+Numerics match the flax modules (mupe_tpu/learning/modules/networks.py):
+matmuls in bfloat16 with float32 accumulation, LayerNorm statistics in
+float32, tanh-approximate GELU; softmax here is float32 (flax computes it
+in bfloat16 — deviation far below training noise).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LN_EPS = 1e-6  # flax LayerNorm default
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderSpec:
+    """Static description of one encoder+head instance.
+
+    groups: per entity group (in canonical order) the (num_tokens, feat_dim).
+    """
+
+    groups: Tuple[Tuple[int, int], ...]
+    head_dim: int
+    embed_dim: int = 128
+    ff_dim: int = 128
+    tile: int = 512
+
+    @property
+    def n_tokens(self) -> int:
+        return sum(k for k, _ in self.groups)
+
+    @property
+    def obs_dim(self) -> int:
+        return sum(k * d for k, d in self.groups)
+
+    @property
+    def n_leaves(self) -> int:
+        return 2 * len(self.groups) + 20
+
+
+# ---------------------------------------------------------------- param I/O
+def extract_leaves(spec: EncoderSpec, params, group_names: Sequence[str]):
+    """Flax param tree → canonical flat tuple of leaves.
+
+    Layout: per-group (Wg, bg)…, ln0(scale, bias), Wq, bq, Wk, bk, Wv, bv,
+    Wo, bo, ln1(scale, bias), W1, b1, W2, b2, ln2(scale, bias), Wh, bh.
+    Attention kernels are reshaped from flax's [in, heads, head] layout.
+    """
+    p = params["params"]
+    enc_key = next(k for k in p if k.startswith("PartialAttentionEncoder"))
+    enc = p[enc_key]
+    se = enc["SplitEmbedding_0"]
+    e = spec.embed_dim
+    leaves = []
+    for name in group_names:
+        leaves += [se[f"embed_{name}"]["kernel"], se[f"embed_{name}"]["bias"]]
+    leaves += [se["LayerNorm_0"]["scale"], se["LayerNorm_0"]["bias"]]
+    attn = enc["attn"]
+    leaves += [
+        attn["query"]["kernel"].reshape(e, e), attn["query"]["bias"].reshape(e),
+        attn["key"]["kernel"].reshape(e, e), attn["key"]["bias"].reshape(e),
+        attn["value"]["kernel"].reshape(e, e), attn["value"]["bias"].reshape(e),
+        attn["out"]["kernel"].reshape(e, e), attn["out"]["bias"],
+    ]
+    leaves += [enc["LayerNorm_0"]["scale"], enc["LayerNorm_0"]["bias"]]
+    leaves += [enc["Dense_0"]["kernel"], enc["Dense_0"]["bias"]]
+    leaves += [enc["Dense_1"]["kernel"], enc["Dense_1"]["bias"]]
+    leaves += [enc["LayerNorm_1"]["scale"], enc["LayerNorm_1"]["bias"]]
+    # head: actor = DiagGaussianHead_0/Dense_0, critic = top-level Dense_0
+    if "DiagGaussianHead_0" in p:
+        head = p["DiagGaussianHead_0"]["Dense_0"]
+    else:
+        head = p["Dense_0"]
+    leaves += [head["kernel"], head["bias"]]
+    return tuple(leaves)
+
+
+def rebuild_grads(spec: EncoderSpec, params, group_names, dleaves):
+    """Canonical grad tuple → flax-shaped grad tree (zeros elsewhere)."""
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    p = grads["params"]
+    enc_key = next(k for k in p if k.startswith("PartialAttentionEncoder"))
+    enc = p[enc_key]
+    se = enc["SplitEmbedding_0"]
+    e = spec.embed_dim
+    it = iter(dleaves)
+    for name in group_names:
+        se[f"embed_{name}"]["kernel"] = next(it)
+        se[f"embed_{name}"]["bias"] = next(it)
+    se["LayerNorm_0"]["scale"] = next(it)
+    se["LayerNorm_0"]["bias"] = next(it)
+    attn = enc["attn"]
+    attn["query"]["kernel"] = next(it).reshape(e, 1, e)
+    attn["query"]["bias"] = next(it).reshape(1, e)
+    attn["key"]["kernel"] = next(it).reshape(e, 1, e)
+    attn["key"]["bias"] = next(it).reshape(1, e)
+    attn["value"]["kernel"] = next(it).reshape(e, 1, e)
+    attn["value"]["bias"] = next(it).reshape(1, e)
+    attn["out"]["kernel"] = next(it).reshape(1, e, e)
+    attn["out"]["bias"] = next(it)
+    enc["LayerNorm_0"]["scale"] = next(it)
+    enc["LayerNorm_0"]["bias"] = next(it)
+    enc["Dense_0"]["kernel"] = next(it)
+    enc["Dense_0"]["bias"] = next(it)
+    enc["Dense_1"]["kernel"] = next(it)
+    enc["Dense_1"]["bias"] = next(it)
+    enc["LayerNorm_1"]["scale"] = next(it)
+    enc["LayerNorm_1"]["bias"] = next(it)
+    if "DiagGaussianHead_0" in p:
+        head = p["DiagGaussianHead_0"]["Dense_0"]
+    else:
+        head = p["Dense_0"]
+    head["kernel"] = next(it)
+    head["bias"] = next(it)
+    return grads
+
+
+def pack_obs(spec: EncoderSpec, obs: Dict[str, jnp.ndarray], group_names):
+    """Dict of [..., k, d] groups → [S, obs_dim] rows in canonical order."""
+    lead = obs[group_names[0]].shape[:-2]
+    parts = [
+        obs[name].reshape(lead + (-1,)).reshape((-1, k * d))
+        for name, (k, d) in zip(group_names, spec.groups)
+    ]
+    return jnp.concatenate(parts, axis=-1), lead
+
+
+# ---------------------------------------------------------------- math core
+def _ln_f32(x, scale, bias):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(m)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    n = (x - m) * inv
+    return n * scale + bias, n, inv
+
+
+def _mm(a, b):
+    """bf16 matmul with f32 accumulation (the TPU-native precision)."""
+    return jnp.dot(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_tn(a, b):
+    """aᵀ @ b without materializing the transpose (contract over rows)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gelu_tanh(x):
+    # flax nn.gelu(approximate=True)
+    c = math.sqrt(2.0 / math.pi)
+    inner = c * (x + 0.044715 * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(inner))
+
+
+def _dgelu_tanh(x):
+    c = math.sqrt(2.0 / math.pi)
+    inner = c * (x + 0.044715 * x * x * x)
+    t = jnp.tanh(inner)
+    dinner = c * (1.0 + 3.0 * 0.044715 * x * x)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
+
+
+def _forward_core(spec: EncoderSpec, x, leaves):
+    """Straight-line fwd shared by kernel and reference.
+
+    Returns (out, residuals) where residuals hold everything bwd reuses.
+    x: [T, obs_dim] f32.
+    """
+    it = iter(leaves)
+    g = len(spec.groups)
+    gw = [(next(it), next(it)) for _ in range(g)]
+    g0, b0 = next(it), next(it)
+    wq, bq, wk, bk, wv, bv, wo, bo = (next(it) for _ in range(8))
+    g1, b1 = next(it), next(it)
+    w1, bf1, w2, bf2 = (next(it) for _ in range(4))
+    g2, b2 = next(it), next(it)
+    wh, bh = next(it), next(it)
+
+    # per-token embed + LN0
+    xs, hs, n0s, inv0s = [], [], [], []
+    off = 0
+    for (k, d), (wg, bg) in zip(spec.groups, gw):
+        for _ in range(k):
+            xt = x[:, off : off + d]
+            e = _mm(xt, wg) + bg
+            h, n0, inv0 = _ln_f32(e, g0, b0)
+            xs.append(xt)
+            hs.append(h)
+            n0s.append(n0)
+            inv0s.append(inv0)
+            off += d
+    h0 = hs[0]
+    q = _mm(h0, wq) + bq
+    ks = [_mm(h, wk) + bk for h in hs]
+    vs = [_mm(h, wv) + bv for h in hs]
+    scale = 1.0 / math.sqrt(spec.embed_dim)
+    ss = [jnp.sum(q * k_, axis=-1, keepdims=True) * scale for k_ in ks]
+    smax = ss[0]
+    for s_ in ss[1:]:
+        smax = jnp.maximum(smax, s_)
+    es = [jnp.exp(s_ - smax) for s_ in ss]
+    denom = es[0]
+    for e_ in es[1:]:
+        denom = denom + e_
+    ats = [e_ / denom for e_ in es]
+    att = ats[0] * vs[0]
+    for a_, v_ in zip(ats[1:], vs[1:]):
+        att = att + a_ * v_
+    o = _mm(att, wo) + bo
+    r1 = h0 + o
+    y1, n1, inv1 = _ln_f32(r1, g1, b1)
+    pre1 = _mm(y1, w1) + bf1
+    f = _gelu_tanh(pre1)
+    g2out = _mm(f, w2) + bf2
+    r2 = y1 + g2out
+    y2, n2, inv2 = _ln_f32(r2, g2, b2)
+    out = _mm(y2, wh) + bh
+    res = dict(
+        xs=xs, hs=hs, n0s=n0s, inv0s=inv0s, h0=h0, q=q, ks=ks, vs=vs,
+        ats=ats, att=att, n1=n1, inv1=inv1, y1=y1, pre1=pre1, f=f,
+        n2=n2, inv2=inv2, y2=y2,
+    )
+    return out, res
+
+
+def _ln_bwd(dy, n, inv, scale):
+    """Given d(out) of LN out = n*scale+bias, return (dx, dscale, dbias)."""
+    dscale = jnp.sum(dy * n, axis=0)
+    dbias = jnp.sum(dy, axis=0)
+    dn = dy * scale
+    dx = inv * (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - n * jnp.mean(dn * n, axis=-1, keepdims=True)
+    )
+    return dx, dscale, dbias
+
+
+def _backward_core(spec: EncoderSpec, leaves, res, dout):
+    """Straight-line bwd; returns grads in the canonical leaf order."""
+    it = iter(leaves)
+    g = len(spec.groups)
+    gw = [(next(it), next(it)) for _ in range(g)]
+    g0, b0 = next(it), next(it)
+    wq, bq, wk, bk, wv, bv, wo, bo = (next(it) for _ in range(8))
+    g1, b1 = next(it), next(it)
+    w1, bf1, w2, bf2 = (next(it) for _ in range(4))
+    g2, b2 = next(it), next(it)
+    wh, bh = next(it), next(it)
+
+    scale = 1.0 / math.sqrt(spec.embed_dim)
+    n_tok = spec.n_tokens
+
+    dwh = _mm_tn(res["y2"], dout)
+    dbh = jnp.sum(dout, axis=0)
+    dy2 = _mm(dout, wh.T)
+    dr2, dg2ln, db2ln = _ln_bwd(dy2, res["n2"], res["inv2"], g2)
+    dy1 = dr2
+    dg2out = dr2
+    dw2 = _mm_tn(res["f"], dg2out)
+    dbf2 = jnp.sum(dg2out, axis=0)
+    df = _mm(dg2out, w2.T)
+    dpre1 = df * _dgelu_tanh(res["pre1"])
+    dw1 = _mm_tn(res["y1"], dpre1)
+    dbf1 = jnp.sum(dpre1, axis=0)
+    dy1 = dy1 + _mm(dpre1, w1.T)
+    dr1, dg1ln, db1ln = _ln_bwd(dy1, res["n1"], res["inv1"], g1)
+    dh0 = dr1
+    do = dr1
+    dwo = _mm_tn(res["att"], do)
+    dbo = jnp.sum(do, axis=0)
+    datt = _mm(do, wo.T)
+    # attention bwd
+    ats, ks, vs, q = res["ats"], res["ks"], res["vs"], res["q"]
+    das = [jnp.sum(datt * v_, axis=-1, keepdims=True) for v_ in vs]
+    dvs = [a_ * datt for a_ in ats]
+    wsum = ats[0] * das[0]
+    for a_, da_ in zip(ats[1:], das[1:]):
+        wsum = wsum + a_ * da_
+    dss = [a_ * (da_ - wsum) for a_, da_ in zip(ats, das)]
+    dq = dss[0] * ks[0]
+    for ds_, k_ in zip(dss[1:], ks[1:]):
+        dq = dq + ds_ * k_
+    dq = dq * scale
+    dks = [ds_ * q * scale for ds_ in dss]
+    # projections
+    hs = res["hs"]
+    dwq = _mm_tn(hs[0], dq)
+    dbq = jnp.sum(dq, axis=0)
+    dh0 = dh0 + _mm(dq, wq.T)
+    dwk = _mm_tn(hs[0], dks[0])
+    dwv = _mm_tn(hs[0], dvs[0])
+    dbk = jnp.sum(dks[0], axis=0)
+    dbv = jnp.sum(dvs[0], axis=0)
+    dhs = [None] * n_tok
+    dhs[0] = dh0 + _mm(dks[0], wk.T) + _mm(dvs[0], wv.T)
+    for t in range(1, n_tok):
+        dwk = dwk + _mm_tn(hs[t], dks[t])
+        dwv = dwv + _mm_tn(hs[t], dvs[t])
+        dbk = dbk + jnp.sum(dks[t], axis=0)
+        dbv = dbv + jnp.sum(dvs[t], axis=0)
+        dhs[t] = _mm(dks[t], wk.T) + _mm(dvs[t], wv.T)
+    # LN0 + embeds
+    dg0 = jnp.zeros_like(g0)
+    db0 = jnp.zeros_like(b0)
+    dgw = []
+    t = 0
+    for (k, d), (wg, bg) in zip(spec.groups, gw):
+        dwg = jnp.zeros_like(wg).astype(jnp.float32)
+        dbg = jnp.zeros_like(bg).astype(jnp.float32)
+        for _ in range(k):
+            de, dg0t, db0t = _ln_bwd(
+                dhs[t], res["n0s"][t], res["inv0s"][t], g0
+            )
+            dg0 = dg0 + dg0t
+            db0 = db0 + db0t
+            dwg = dwg + _mm_tn(res["xs"][t], de)
+            dbg = dbg + jnp.sum(de, axis=0)
+            t += 1
+        dgw += [dwg, dbg]
+    return tuple(
+        dgw
+        + [dg0, db0, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo]
+        + [dg1ln, db1ln, dw1, dbf1, dw2, dbf2, dg2ln, db2ln, dwh, dbh]
+    )
+
+
+# ------------------------------------------------------------ reference path
+def reference_apply(spec: EncoderSpec, leaves, obs_packed):
+    """Pure-jnp forward — golden model for tests and non-TPU fallback."""
+    out, _ = _forward_core(spec, obs_packed, leaves)
+    return out
+
+
+# ---------------------------------------------------------------- kernels
+def _fwd_kernel(spec: EncoderSpec, *refs):
+    x_ref = refs[0]
+    leaf_refs = refs[1 : 1 + spec.n_leaves]
+    out_ref = refs[1 + spec.n_leaves]
+    leaves = [r[:] for r in leaf_refs]
+    out, _ = _forward_core(spec, x_ref[:].astype(jnp.float32), leaves)
+    out_ref[:] = out
+
+
+def _bwd_kernel(spec: EncoderSpec, *refs):
+    x_ref = refs[0]
+    dout_ref = refs[1]
+    leaf_refs = refs[2 : 2 + spec.n_leaves]
+    grad_refs = refs[2 + spec.n_leaves :]
+    leaves = [r[:] for r in leaf_refs]
+    _, res = _forward_core(spec, x_ref[:].astype(jnp.float32), leaves)
+    grads = _backward_core(spec, leaves, res, dout_ref[:].astype(jnp.float32))
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for gr in grad_refs:
+            gr[:] = jnp.zeros(gr.shape, jnp.float32)
+
+    for gr, g_ in zip(grad_refs, grads):
+        gr[:] = gr[:] + g_.reshape(gr.shape)
+
+
+def _pad_rows(a, tile):
+    s = a.shape[0]
+    pad = (-s) % tile
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+    return a
+
+
+def _const_specs(leaves):
+    """Params: full blocks, constant index map → VMEM-resident across grid."""
+    return [
+        pl.BlockSpec(
+            l.shape, lambda i, _shape=l.shape: (0,) * len(_shape),
+            memory_space=pltpu.VMEM,
+        )
+        for l in leaves
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_calls(spec: EncoderSpec, s_padded: int, interpret: bool):
+    n_tiles = s_padded // spec.tile
+
+    def fwd(x, *leaves):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, spec),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (spec.tile, spec.obs_dim),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            + _const_specs(leaves),
+            out_specs=pl.BlockSpec(
+                (spec.tile, spec.head_dim),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (s_padded, spec.head_dim), jnp.float32
+            ),
+            interpret=interpret,
+        )(x, *leaves)
+
+    def bwd(x, dout, *leaves):
+        grad_shapes = [
+            jax.ShapeDtypeStruct(l.shape, jnp.float32) for l in leaves
+        ]
+        grad_specs = _const_specs(leaves)
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, spec),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (spec.tile, spec.obs_dim),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (spec.tile, spec.head_dim),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            + _const_specs(leaves),
+            out_specs=grad_specs,
+            out_shape=grad_shapes,
+            interpret=interpret,
+        )(x, dout, *leaves)
+
+    return fwd, bwd
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_encoder_head(spec: EncoderSpec, leaves, obs_packed):
+    """[S, obs_dim] → [S, head_dim] through the fused encoder+head.
+
+    Differentiable wrt `leaves` (canonical tuple, see `extract_leaves`);
+    the cotangent for `obs_packed` is zero (observations are data).
+    On non-TPU backends this falls back to the pure-jnp reference (same
+    math, shardable under pjit) rather than interpreter-mode kernels.
+    """
+    if not _on_tpu():
+        return reference_apply(spec, leaves, obs_packed)
+    s = obs_packed.shape[0]
+    x = _pad_rows(obs_packed, spec.tile)
+    fwd, _ = _build_calls(spec, x.shape[0], False)
+    return fwd(x, *leaves)[:s]
+
+
+def _vjp_fwd(spec, leaves, obs_packed):
+    return fused_encoder_head(spec, leaves, obs_packed), (leaves, obs_packed)
+
+
+def _vjp_bwd(spec, resids, dout):
+    leaves, obs_packed = resids
+    if not _on_tpu():
+        _, pullback = jax.vjp(
+            lambda lv: reference_apply(spec, lv, obs_packed), leaves
+        )
+        return pullback(dout)[0], jnp.zeros_like(obs_packed)
+    s = obs_packed.shape[0]
+    x = _pad_rows(obs_packed, spec.tile)
+    d = _pad_rows(dout.astype(jnp.float32), spec.tile)
+    _, bwd = _build_calls(spec, x.shape[0], False)
+    dleaves = bwd(x, d, *leaves)
+    dleaves = tuple(
+        dl.astype(l.dtype) for dl, l in zip(dleaves, leaves)
+    )
+    return dleaves, jnp.zeros_like(obs_packed)
+
+
+fused_encoder_head.defvjp(_vjp_fwd, _vjp_bwd)
