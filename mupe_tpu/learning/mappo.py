@@ -292,8 +292,11 @@ class MAPPOPolicy:
         out = fused_encoder_head(spec, leaves, x)
         return out.reshape(lead + (head_dim,))
 
-    def _actor_dist(self, actor_params, obs) -> Gaussian:
-        if self.cfg.share_actor and self._fused_ok(obs):
+    def _actor_dist(self, actor_params, obs, fused: bool = False) -> Gaussian:
+        # The Pallas path wins for the update's large fwd+bwd minibatches;
+        # the per-step rollout batches are small enough that XLA's fused
+        # forward is faster (measured), so act() keeps the flax path.
+        if fused and self.cfg.share_actor and self._fused_ok(obs):
             mean = self._fused_apply(actor_params, obs, self.action_dim)
             log_std = actor_params["params"]["DiagGaussianHead_0"]["log_std"]
             return Gaussian(
@@ -309,12 +312,14 @@ class MAPPOPolicy:
             actor_params, obs
         )
 
-    def value_op(self, ts: MAPPOState, obs, state=None) -> jnp.ndarray:
+    def value_op(
+        self, ts: MAPPOState, obs, state=None, fused: bool = False
+    ) -> jnp.ndarray:
         """V(s) per agent → [..., n, 1] (mappo.py:221-232)."""
         if self.cfg.critic_input == "state":
             v = self.critic.apply(ts.critic_params, state)  # [..., n]
             return v[..., None]
-        if self._fused_ok(obs):
+        if fused and self._fused_ok(obs):
             return self._fused_apply(ts.critic_params, obs, 1)
         return self.critic.apply(ts.critic_params, obs)  # [..., n, 1]
 
@@ -340,7 +345,7 @@ class MAPPOPolicy:
         cfg = self.cfg
         t_len, e = batch.reward.shape[:2]
 
-        next_value = self.value_op(ts, batch.last_obs, batch.last_state)
+        next_value = self.value_op(ts, batch.last_obs, batch.last_state, fused=True)
         values = ts.value_norm.denormalize(batch.value)
         next_value = ts.value_norm.denormalize(next_value)
 
@@ -431,7 +436,7 @@ class MAPPOPolicy:
         cfg = self.cfg
 
         def loss_fn(actor_params):
-            dist = self._actor_dist(actor_params, mb["obs"])
+            dist = self._actor_dist(actor_params, mb["obs"], fused=True)
             logp_new = dist.log_prob(mb["action"])[..., None]
             entropy = dist.entropy()[..., None]
             ratio = jnp.exp(logp_new - mb["logp"])
@@ -472,7 +477,7 @@ class MAPPOPolicy:
 
         def loss_fn(critic_params):
             ts_ = ts.replace(critic_params=critic_params)
-            values = self.value_op(ts_, mb["obs"], mb.get("state"))
+            values = self.value_op(ts_, mb["obs"], mb.get("state"), fused=True)
             b_values = mb["value"]
             b_returns = mb["returns"]
             clipped = b_values + jnp.clip(
