@@ -29,7 +29,12 @@ from ..learning.tp_net import TPNet, denormalize_predictions, normalize_groundtr
 from ..transforms.ctbr import hover_prev_action_init, pid_rate_transform
 from .base import Transition, register_env, where_done
 from .geometry import k_nearest_cylinders, line_blocked_by_cylinder
-from .placement import make_grid, sample_cylinders
+from .placement import (
+    make_grid,
+    outside_circle_mask,
+    sample_cylinders,
+    sample_spawns_cl,
+)
 from .prey import prey_force, prey_velocity
 from .scenarios import INVALID_Z, scenario_cylinders, scenario_spawns
 
@@ -71,6 +76,12 @@ class HideAndSeekCfg:
     use_random_cylinder: bool = True
     scenario_flag: str = "wall"
     use_eval: bool = False
+    # curriculum-bounded spawns (placement.py:560-646 `_cl` samplers): when
+    # enabled, drone/target cells come from the centered grid window of
+    # half-width cl_bound and z from the centered height band
+    use_cl_spawn: bool = False
+    cl_bound: int = 6
+    height_bound: float = 0.5
     # TP net (HideAndSeek.yaml:30-34)
     use_tp_net: bool = True
     history_step: int = 10
@@ -202,7 +213,17 @@ class HideAndSeek:
         e, n = cfg.num_envs, cfg.num_agents
         a = cfg.arena_size / np.sqrt(2.0)
         k_dxy, k_txy, k_dz, k_tz, k_rpy, k_cyl = jax.random.split(key, 6)
-        if cfg.use_random_cylinder and not cfg.use_eval:
+        if cfg.use_cl_spawn and cfg.use_random_cylinder and not cfg.use_eval:
+            # curriculum-bounded grid spawns (placement.py:560-646)
+            base = jnp.broadcast_to(
+                jnp.asarray(outside_circle_mask(self.grid.num_grid)),
+                (e, self.grid.num_grid, self.grid.num_grid),
+            )
+            drone_pos, target_pos = sample_spawns_cl(
+                k_dxy, base, n, self.grid, cfg.max_height,
+                cl_bound=cfg.cl_bound, height_bound=cfg.height_bound,
+            )
+        elif cfg.use_random_cylinder and not cfg.use_eval:
             drone_xy = jax.random.uniform(
                 k_dxy, (e, n, 2),
                 minval=jnp.asarray([0.1, -a + 0.1]),
@@ -692,6 +713,10 @@ class HideAndSeek:
             "tp_input": new_state.history,
             "tp_gt": tp_gt,
             "tp_done": tp_done.astype(jnp.float32),
+            # for eval rendering (utils/render.py): pre-reset scene geometry
+            "target_pos": target_pos,
+            "cylinders": state.cylinders,
+            "capture": capture_flag.astype(jnp.float32),
         }
         return new_state, Transition(
             obs=obs,

@@ -38,13 +38,33 @@ class HoverCfg:
     linear_vel_max: float = 3.0
     linear_acc_max: float = 10.0
     time_encoding_dim: int = 4
+    # sim2real options (reference cfg/task/Hover.yaml:31-34 + hover.py:339,423-428)
     action_noise: bool = False
     obs_noise: bool = False
+    latency: bool = False          # 2-step observation delay (hover.py:211-212,426-428)
+    # payload randomization (hover.py:18-35,99-114,300-313; z/mass ranges
+    # from the commented defaults in cfg/task/Hover.yaml)
+    payload: bool = False
+    payload_z_range: Tuple[float, float] = (-0.1, 0.1)
+    payload_mass_range: Tuple[float, float] = (0.01, 0.1)  # × drone mass
+    # observation options (hover.py:201-205, 376-379)
+    obs_omega: bool = False
+    obs_motor: bool = False
+
+    @property
+    def latency_steps(self) -> int:
+        return 2 if self.latency else 0
 
     @property
     def obs_dim(self) -> int:
-        # rpos(3) + quat+vel(7) + heading+up(6) + time(4)  (hover.py:194-209)
-        return 3 + 7 + 6 + self.time_encoding_dim
+        # rpos(3) + quat+vel(7) + heading+up(6) [+omega(3)] [+motor(4)] + time
+        # (hover.py:194-209)
+        return (
+            3 + 7 + 6
+            + (3 if self.obs_omega else 0)
+            + (4 if self.obs_motor else 0)
+            + self.time_encoding_dim
+        )
 
 
 STAT_KEYS = (
@@ -70,6 +90,18 @@ STAT_KEYS = (
     "linear_jerk_mean",
     "angular_jerk_mean",
     "action_error_order1_mean",
+    # CTBR telemetry (hover.py:355-370): commanded vs realized body rates
+    # [deg/s] and raw motor-channel actions, overwritten every step
+    "target_r_rate",
+    "target_p_rate",
+    "target_y_rate",
+    "real_r_rate",
+    "real_p_rate",
+    "real_y_rate",
+    "motor1",
+    "motor2",
+    "motor3",
+    "motor4",
 )
 
 
@@ -88,6 +120,12 @@ class HoverState:
     last_linear_a: jnp.ndarray
     last_angular_a: jnp.ndarray
     key: jnp.ndarray
+    # payload randomization (zeros when cfg.payload=False): point mass [kg]
+    # rigidly carried at body-frame offset (0, 0, z)  (hover.py:300-313)
+    payload_mass: jnp.ndarray   # [E, 1, 1]
+    payload_z: jnp.ndarray      # [E, 1, 1]
+    # observation latency ring buffer, oldest first  (hover.py:211-212)
+    obs_buf: jnp.ndarray        # [E, L, 1, obs_dim] (L = 0 when latency off)
 
 
 @register_env("Hover")
@@ -131,12 +169,32 @@ class Hover:
         )
         return hover_state(self.params, pos, euler_to_quaternion(rpy))
 
+    def _sample_payload(
+        self, key: jnp.ndarray, batch: Tuple[int, ...]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Payload mass (× drone mass) and body-frame z offset (hover.py:300-313)."""
+        cfg = self.cfg
+        if not cfg.payload:
+            z = jnp.zeros(batch + (1,))
+            return z, z
+        k_m, k_z = jax.random.split(key)
+        mass = self.params.mass * jax.random.uniform(
+            k_m, batch + (1,), minval=cfg.payload_mass_range[0],
+            maxval=cfg.payload_mass_range[1],
+        )
+        z = jax.random.uniform(
+            k_z, batch + (1,), minval=cfg.payload_z_range[0],
+            maxval=cfg.payload_z_range[1],
+        )
+        return mass, z
+
     def reset(self, key: jnp.ndarray) -> HoverState:
         e = self.cfg.num_envs
-        k_init, k_next = jax.random.split(key)
+        k_init, k_payload, k_next = jax.random.split(key, 3)
         drone = self._sample_drone_state(k_init, (e, 1))
+        payload_mass, payload_z = self._sample_payload(k_payload, (e, 1))
         zeros1 = jnp.zeros((e, 1))
-        return HoverState(
+        state = HoverState(
             drone=drone,
             pid=PIDRateState.zeros((e, 1)),
             prev_action=hover_prev_action_init(self.params, drone.throttle),
@@ -149,28 +207,42 @@ class Hover:
             last_linear_a=zeros1,
             last_angular_a=zeros1,
             key=k_next,
+            payload_mass=payload_mass,
+            payload_z=payload_z,
+            obs_buf=jnp.zeros((e, self.cfg.latency_steps, 1, self.cfg.obs_dim)),
         )
+        if self.cfg.latency:
+            obs0 = self._observe_now(state)
+            state = state.replace(
+                obs_buf=jnp.broadcast_to(
+                    obs0[:, None], (e, self.cfg.latency_steps, 1, self.cfg.obs_dim)
+                )
+            )
+        return state
 
     # -- observation ------------------------------------------------------
-    def observe(self, state: HoverState) -> jnp.ndarray:
-        """[rpos, quat, vel_w, heading, up, t] (hover.py:371-383)."""
+    def _observe_now(self, state: HoverState) -> jnp.ndarray:
+        """Instantaneous [rpos, quat, vel_w, heading, up, (omega), (motor), t]
+        (hover.py:371-383)."""
         d = state.drone
         rpos = state.target_pos - d.pos
         t = (state.progress / self.cfg.max_episode_length)[:, None, None]
-        obs = jnp.concatenate(
-            [
-                rpos,
-                d.quat,
-                d.vel,
-                d.heading,
-                d.up,
-                jnp.broadcast_to(
-                    t, (self.cfg.num_envs, 1, self.cfg.time_encoding_dim)
-                ),
-            ],
-            axis=-1,
+        parts = [rpos, d.quat, d.vel, d.heading, d.up]
+        if self.cfg.obs_omega:
+            parts.append(d.angvel)
+        if self.cfg.obs_motor:
+            parts.append(d.throttle * 2.0 - 1.0)
+        parts.append(
+            jnp.broadcast_to(t, (self.cfg.num_envs, 1, self.cfg.time_encoding_dim))
         )
-        return obs
+        return jnp.concatenate(parts, axis=-1)
+
+    def observe(self, state: HoverState) -> jnp.ndarray:
+        """Policy-visible observation — the latency-buffer head when the
+        2-step delay is enabled (hover.py:426-428)."""
+        if self.cfg.latency:
+            return state.obs_buf[:, 0]
+        return self._observe_now(state)
 
     # -- step -------------------------------------------------------------
     def step(
@@ -178,13 +250,32 @@ class Hover:
     ) -> Tuple[HoverState, Transition]:
         cfg = self.cfg
         params = self.params
+        k_anoise, k_onoise, k_payload, k_init, k_next = jax.random.split(key, 5)
+
+        # multiplicative action noise (hover.py:339-340)
+        if cfg.action_noise:
+            action = action * (
+                jax.random.normal(k_anoise, action.shape) * 0.1 + 1.0
+            )
 
         # (L4) CTBR action adapter + firmware PID (transforms.py:404-459)
         res = pid_rate_transform(
             params, state.drone, action, state.prev_action, state.pid, cfg.dt
         )
+        # payload = point mass rigidly carried at body offset (0,0,z): adds
+        # mass and a parallel-axis inertia term (the reference attaches a
+        # dynamic cuboid through a limited prismatic joint, hover.py:18-35)
+        if cfg.payload:
+            mp = state.payload_mass[..., 0]            # [E,1]
+            zp = state.payload_z                       # [E,1,1]
+            d_inertia = mp[..., None] * jnp.square(zp) * jnp.asarray([1.0, 1.0, 0.0])
+            dyn_params = params.replace(
+                mass=params.mass + mp, inertia=params.inertia + d_inertia
+            )
+        else:
+            dyn_params = params
         drone, throttle_diff = dynamics_step(
-            params, state.drone, res.rotor_cmds, cfg.dt, self.rigid_cfg,
+            dyn_params, state.drone, res.rotor_cmds, cfg.dt, self.rigid_cfg,
             enable_downwash=False,
         )
         progress = state.progress + 1
@@ -256,6 +347,14 @@ class Hover:
         st["action_error_order1_mean"] = st["action_error_order1_mean"] + (
             res.action_error - st["action_error_order1_mean"]
         ) / pcount
+        # CTBR telemetry: commanded and realized body rates [deg/s] + raw
+        # motor-channel actions, overwritten every step (hover.py:341-370)
+        body_rate_deg = drone.body_rate * (180.0 / jnp.pi)
+        for i, ax in enumerate(("r", "p", "y")):
+            st[f"target_{ax}_rate"] = res.target_rate_deg[..., i]
+            st[f"real_{ax}_rate"] = body_rate_deg[..., i]
+        for i in range(4):
+            st[f"motor{i + 1}"] = action[..., i]
 
         mid_state = state.replace(
             drone=drone,
@@ -271,8 +370,8 @@ class Hover:
 
         # auto-reset (isaac_env.py:210-225 semantics): done envs get fresh
         # state (incl. zeroed stats); Transition.stats keeps the finished values
-        k_init, k_next = jax.random.split(key)
         fresh_drone = self._sample_drone_state(k_init, (cfg.num_envs, 1))
+        fresh_pm, fresh_pz = self._sample_payload(k_payload, (cfg.num_envs, 1))
         zeros1 = jnp.zeros((cfg.num_envs, 1))
         sel = lambda new, old: where_done(done_env, new, old)
         new_state = mid_state.replace(
@@ -287,9 +386,26 @@ class Hover:
             last_angular_v=sel(zeros1, angular_v),
             last_linear_a=sel(zeros1, linear_a),
             last_angular_a=sel(zeros1, angular_a),
+            payload_mass=sel(fresh_pm, state.payload_mass),
+            payload_z=sel(fresh_pz, state.payload_z),
             key=k_next,
         )
-        obs = self.observe(new_state)
+        inst_obs = self._observe_now(new_state)
+        # multiplicative observation noise, applied before the latency buffer
+        # (hover.py:423-428); the reference's deque is likewise never cleared
+        # per-env at reset.
+        if cfg.obs_noise:
+            inst_obs = inst_obs * (
+                jax.random.normal(k_onoise, inst_obs.shape) * 0.1 + 1.0
+            )
+        if cfg.latency:
+            new_buf = jnp.concatenate(
+                [state.obs_buf[:, 1:], inst_obs[:, None]], axis=1
+            )
+            new_state = new_state.replace(obs_buf=new_buf)
+            obs = new_buf[:, 0]
+        else:
+            obs = inst_obs
 
         info = {
             "drone_state": drone.state_vector()[..., :13],

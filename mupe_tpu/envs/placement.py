@@ -126,6 +126,51 @@ def sample_cylinders(
     return xy, active
 
 
+@functools.lru_cache(maxsize=None)
+def outside_window_mask(num_grid: int, cl_bound: int) -> np.ndarray:
+    """Cells outside the centered curriculum window of half-width `cl_bound`
+    (placement.py:616-621: `grid_idx ~ randint(c − cl_bound, c + cl_bound)`).
+    `cl_bound = num_grid // 2` disables the restriction."""
+    c = num_grid // 2
+    i, j = np.meshgrid(np.arange(num_grid), np.arange(num_grid), indexing="ij")
+    inside = (
+        (i >= c - cl_bound) & (i < c + cl_bound)
+        & (j >= c - cl_bound) & (j < c + cl_bound)
+    )
+    return ~inside
+
+
+def sample_spawns_cl(
+    key: jnp.ndarray,
+    occupied: jnp.ndarray,   # bool [..., G, G] — already-occupied cells
+    num_drones: int,
+    grid: Grid,
+    max_height: float,
+    cl_bound: int = 6,
+    height_bound: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Curriculum-bounded drone + target spawn sampling
+    (placement.py:560-646 `generate_drone_target_large_after_cylinder`).
+
+    XY cells are uniform over free cells of the centered window of
+    half-width `cl_bound`; z ~ U(H/2 − hb·H + 0.02, H/2 + hb·H − 0.02).
+    Small `cl_bound`/`height_bound` spawn everyone close together — the
+    easy end of the curriculum.  Returns (drone_pos [..., n, 3],
+    target_pos [..., 1, 3]).
+    """
+    k_xy, k_z = jax.random.split(key)
+    occ = occupied | jnp.asarray(outside_window_mask(grid.num_grid, cl_bound))
+    xy = sample_free_cells(k_xy, occ, num_drones + 1, grid)
+    z = jax.random.uniform(
+        k_z,
+        occupied.shape[:-2] + (num_drones + 1, 1),
+        minval=0.5 * max_height - height_bound * max_height + 0.02,
+        maxval=0.5 * max_height + height_bound * max_height - 0.02,
+    )
+    pos = jnp.concatenate([xy, z], axis=-1)
+    return pos[..., :num_drones, :], pos[..., num_drones:, :]
+
+
 def flood_fill_reachable(
     free: jnp.ndarray,      # bool [..., G, G] — traversable cells
     start: jnp.ndarray,     # int [..., 2] — start cell

@@ -163,6 +163,9 @@ def evaluate(argv: Sequence[str]) -> Dict[str, float]:
             ts=load_checkpoint(run_cfg.model_dir, target=carry.ts)
         )
 
+    render_keys = ("target_pos", "cylinders", "capture")
+    want_video = bool(run_cfg.video)
+
     def eval_step(carry_in, _):
         (ts, env_state, obs, state, key) = carry_in
         key, k_act, k_env = jax.random.split(key, 3)
@@ -172,7 +175,12 @@ def evaluate(argv: Sequence[str]) -> Dict[str, float]:
         else:
             env_state, tr = env.step(env_state, action, k_env)
         nxt = tr.info.get("state") if isinstance(tr.info, dict) else None
-        return (ts, env_state, tr.obs, nxt, key), (tr.done, tr.stats)
+        out = (tr.done, tr.stats)
+        if want_video:
+            frame = {"drone_pos": tr.info["drone_state"][..., :3]}
+            frame.update({k: tr.info[k] for k in render_keys if k in tr.info})
+            out = out + (frame,)
+        return (ts, env_state, tr.obs, nxt, key), out
 
     length = env.cfg.max_episode_length
 
@@ -186,7 +194,21 @@ def evaluate(argv: Sequence[str]) -> Dict[str, float]:
             length=length,
         )
 
-    _, (dones, stats) = run_episode(carry)
+    if want_video:
+        _, (dones, stats, frames) = run_episode(carry)
+        from .utils.render import episode_video
+
+        host_frames = {k: np.asarray(v) for k, v in frames.items()}
+        if "target_pos" in host_frames:
+            episode_video(
+                host_frames, env.cfg, run_cfg.video,
+                env_index=run_cfg.video_env_index,
+            )
+            print(f"video: {run_cfg.video}")
+        else:
+            print("video: task provides no render info; skipped")
+    else:
+        _, (dones, stats) = run_episode(carry)
     dones = np.asarray(dones)  # [T, E, 1]
     n_done = dones.sum()
     result = {}

@@ -30,7 +30,10 @@ class PPOAdaptCfg(MAPPOCfg):
     phase: str = "encoder"        # encoder | adaptation | finetune
     context_dim: int = 64
     condition_mode: str = "cat"   # cat | film
-    adaptation_loss: str = "mse"  # mse | action | value
+    # mse | action | value | action_value | gan | lsgan
+    # (ppo_adapt.py:454 MSE, :545 ActionDistDiv, :581 ValueDeviation,
+    #  :617 ActionValue, :481 GAN, :520 LSGAN)
+    adaptation_loss: str = "mse"
     adaptation_lr: float = 3e-4
     gamma: float = 0.99
     use_tp_net: bool = False
@@ -93,6 +96,23 @@ class _AdaptCritic(nn.Module):
         return nn.Dense(1, kernel_init=nn.initializers.orthogonal(0.01))(
             _CondBody(self.condition_mode)(obs, context)
         )
+
+
+class ContextDiscriminator(nn.Module):
+    """Context → real/fake logit, for the GAN/LSGAN adaptation variants
+    (ppo_adapt.py:481-520: `discriminator` producing a "label")."""
+
+    @nn.compact
+    def __call__(self, context: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(1)(MLP((64, 64))(context))[..., 0]
+
+
+def gaussian_kl(p: Gaussian, q: Gaussian) -> jnp.ndarray:
+    """KL(p ‖ q) for diagonal Gaussians, summed over the event dim
+    (torch D.kl_divergence in ppo_adapt.py:566)."""
+    var_ratio = jnp.exp(2.0 * (p.log_std - q.log_std))
+    t = jnp.square((p.mean - q.mean) / q.std)
+    return 0.5 * jnp.sum(var_ratio + t - 1.0 - jnp.log(var_ratio), axis=-1)
 
 
 class _ContextActorWrapper(nn.Module):
@@ -158,7 +178,17 @@ class PPOAdaptivePolicy(MAPPOPolicy):
         )
         self.encoder = IntrinsicsEncoder(cfg.context_dim)
         self.adaptation = AdaptationModule(cfg.context_dim)
+        self.actor_body = _AdaptActor(action_dim, cfg.condition_mode)
+        self.critic_body = _AdaptCritic(cfg.condition_mode)
+        self.discriminator = ContextDiscriminator()
         self.adapt_tx = optax.adam(cfg.adaptation_lr)
+        self.disc_tx = optax.adam(5e-4)  # ppo_adapt.py:493
+
+    @staticmethod
+    def body_params(wrapper_params, scope: str):
+        """Extract a sub-module's params from a wrapper's param tree (flax
+        names anonymous submodules `<Class>_0`)."""
+        return {"params": wrapper_params["params"][scope]}
 
     def update_adaptation(
         self,
@@ -167,16 +197,108 @@ class PPOAdaptivePolicy(MAPPOPolicy):
         encoder_params,
         obs_history: jnp.ndarray,
         intrinsics: jnp.ndarray,
+        obs: jnp.ndarray | None = None,
+        actor_params=None,
+        critic_params=None,
+        disc_params=None,
+        disc_opt=None,
     ) -> Tuple[dict, dict, jnp.ndarray]:
-        """Phase-2 supervised step: Â(history) ≈ E(intrinsics)
-        (ppo_adapt.py:454-479 MSE loss)."""
-        target = self.encoder.apply(encoder_params, intrinsics)
+        """Phase-2 supervised step: make Â(history) act like E(intrinsics).
 
-        def loss_fn(p):
-            pred = self.adaptation.apply(p, obs_history)
-            return jnp.mean(jnp.square(pred - jax.lax.stop_gradient(target)))
+        Loss variants (cfg.adaptation_loss):
+          * mse           — ‖ẑ − z‖²                       (ppo_adapt.py:454-479)
+          * action        — KL(π(·|o,ẑ) ‖ π(·|o,z))        (:545-580 ActionDistDiv)
+          * value         — ‖V(o,ẑ) − V(o,z)‖²             (:581-616 ValueDeviation)
+          * action_value  — both                            (:617-666 ActionValue)
+          * gan / lsgan   — discriminator on contexts       (:481-543)
+        Actor/critic/discriminator weights are never updated here (the
+        reference's `hold_out_net`): the gradient flows only to the
+        adaptation module, plus a separate discriminator step for GANs.
+        """
+        variant = self.adapt_cfg.adaptation_loss
+        z = jax.lax.stop_gradient(self.encoder.apply(encoder_params, intrinsics))
+
+        def pred_ctx(p):
+            return self.adaptation.apply(p, obs_history)
+
+        if variant == "mse":
+            def loss_fn(p):
+                return jnp.mean(jnp.square(pred_ctx(p) - z))
+        elif variant == "action":
+            target = self.actor_body.apply(actor_params, obs, z)
+            def loss_fn(p):
+                pred = self.actor_body.apply(actor_params, obs, pred_ctx(p))
+                return jnp.mean(gaussian_kl(pred, jax.lax.stop_gradient(target)))
+        elif variant == "value":
+            target = self.critic_body.apply(critic_params, obs, z)
+            def loss_fn(p):
+                pred = self.critic_body.apply(critic_params, obs, pred_ctx(p))
+                return jnp.mean(
+                    jnp.square(pred - jax.lax.stop_gradient(target))
+                )
+        elif variant == "action_value":
+            a_target = self.actor_body.apply(actor_params, obs, z)
+            v_target = self.critic_body.apply(critic_params, obs, z)
+            def loss_fn(p):
+                ctx = pred_ctx(p)
+                a_pred = self.actor_body.apply(actor_params, obs, ctx)
+                v_pred = self.critic_body.apply(critic_params, obs, ctx)
+                return jnp.mean(
+                    gaussian_kl(a_pred, jax.lax.stop_gradient(a_target))
+                ) + jnp.mean(
+                    jnp.square(v_pred - jax.lax.stop_gradient(v_target))
+                )
+        elif variant in ("gan", "lsgan"):
+            return self._update_gan(
+                adaptation_params, adapt_opt, z, obs_history,
+                disc_params, disc_opt, least_squares=(variant == "lsgan"),
+            )
+        else:
+            raise ValueError(f"unknown adaptation_loss {variant!r}")
 
         loss, grads = jax.value_and_grad(loss_fn)(adaptation_params)
         updates, adapt_opt = self.adapt_tx.update(grads, adapt_opt, adaptation_params)
         adaptation_params = optax.apply_updates(adaptation_params, updates)
         return adaptation_params, adapt_opt, loss
+
+    def _update_gan(
+        self, adaptation_params, adapt_opt, z, obs_history,
+        disc_params, disc_opt, least_squares: bool,
+    ):
+        """One generator + one discriminator step (ppo_adapt.py:481-543).
+        Returns (adaptation_params, adapt_opt, loss_g, disc_params, disc_opt,
+        loss_d)."""
+        bce = lambda logit, y: jnp.mean(
+            optax.sigmoid_binary_cross_entropy(logit, jnp.full_like(logit, y))
+        )
+        z_fake = jax.lax.stop_gradient(
+            self.adaptation.apply(adaptation_params, obs_history)
+        )
+
+        def d_loss_fn(dp):
+            real = self.discriminator.apply(dp, z)
+            fake = self.discriminator.apply(dp, z_fake)
+            if least_squares:  # LSGAN (:537-541): real→1, fake→−1
+                return jnp.mean(jnp.square(real - 1.0)) + jnp.mean(
+                    jnp.square(fake + 1.0)
+                )
+            return 0.5 * (bce(real, 1.0) + bce(fake, 0.0))
+
+        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(disc_params)
+        d_updates, disc_opt = self.disc_tx.update(d_grads, disc_opt, disc_params)
+        disc_params = optax.apply_updates(disc_params, d_updates)
+
+        def g_loss_fn(p):
+            fake = self.discriminator.apply(
+                disc_params, self.adaptation.apply(p, obs_history)
+            )
+            if least_squares:
+                return jnp.mean(jnp.square(fake - 1.0))
+            return bce(fake, 1.0)
+
+        loss_g, g_grads = jax.value_and_grad(g_loss_fn)(adaptation_params)
+        g_updates, adapt_opt = self.adapt_tx.update(
+            g_grads, adapt_opt, adaptation_params
+        )
+        adaptation_params = optax.apply_updates(adaptation_params, g_updates)
+        return adaptation_params, adapt_opt, loss_g, disc_params, disc_opt, loss_d

@@ -99,3 +99,7 @@ class RunCfg:
     wandb_mode: str = "disabled"     # disabled | online | offline
     wandb_project: str = "mupe_tpu"
     wandb_entity: Optional[str] = None
+    # eval-video sink (reference eval.py:245-251 wandb.Video): GIF path;
+    # empty disables rendering
+    video: str = ""
+    video_env_index: int = 0

@@ -40,6 +40,33 @@ def test_hover_autoreset(hover_env):
     assert float(jnp.abs(state.stats["return"]).sum()) == 0
 
 
+def test_hover_sim2real_options():
+    """payload / latency / noise / omega+motor obs (hover.py:18-35,201-212,
+    339,423-428)."""
+    cfg = HoverCfg(
+        num_envs=4, max_episode_length=10, payload=True, latency=True,
+        action_noise=True, obs_noise=True, obs_omega=True, obs_motor=True,
+    )
+    env = Hover(cfg)
+    assert cfg.obs_dim == 20 + 3 + 4
+    state = env.reset(jax.random.PRNGKey(0))
+    # payload sampled inside the configured ranges
+    m = np.asarray(state.payload_mass)
+    assert (m >= 0.01 * env.params.mass - 1e-9).all()
+    assert (m <= 0.1 * env.params.mass + 1e-9).all()
+    obs0 = env.observe(state)
+    assert obs0.shape == (4, 1, cfg.obs_dim)
+    stepf = jax.jit(env.step)
+    # 2-step latency: the obs returned by the first step equals the reset obs
+    state1, tr1 = stepf(state, jnp.zeros((4, 1, 4)), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(tr1.obs), np.asarray(obs0), atol=1e-6)
+    state2, tr2 = stepf(state1, jnp.zeros((4, 1, 4)), jax.random.PRNGKey(2))
+    assert np.abs(np.asarray(tr2.obs - tr1.obs)).max() > 0
+    assert np.isfinite(np.asarray(tr2.reward)).all()
+    # heavier drone accelerates down relative to no payload under same cmds
+    assert np.isfinite(np.asarray(state2.drone.pos)).all()
+
+
 @pytest.fixture(scope="module")
 def has_env():
     return HideAndSeek(

@@ -91,6 +91,44 @@ def test_ppo_adapt_phases_share_update():
     assert np.isfinite(float(loss))
 
 
+def test_ppo_adapt_loss_variants():
+    """action / value / action_value / gan / lsgan adaptation losses
+    (reference ppo_adapt.py:454-666)."""
+    e, n, d = 4, 1, 20
+    obs_flat = jnp.ones((e, n, d)) * 0.1
+    obs_h = jnp.ones((e, n, 32, d)) * 0.1
+    intr = jnp.ones((e, n, 9)) * 0.3
+
+    for variant in ("action", "value", "action_value", "gan", "lsgan"):
+        cfg = PPOAdaptCfg(phase="adaptation", adaptation_loss=variant)
+        p = PPOAdaptivePolicy(cfg)
+        enc_p = p.encoder.init(KEY, intr)
+        ad_p = p.adaptation.init(KEY, obs_h)
+        opt = p.adapt_tx.init(ad_p)
+        ctx = jnp.zeros((e, n, cfg.context_dim))
+        actor_p = p.actor_body.init(KEY, obs_flat, ctx)
+        critic_p = p.critic_body.init(KEY, obs_flat, ctx)
+        if variant in ("gan", "lsgan"):
+            disc_p = p.discriminator.init(KEY, ctx)
+            disc_opt = p.disc_tx.init(disc_p)
+            ad_p2, _, loss_g, disc_p2, _, loss_d = p.update_adaptation(
+                ad_p, opt, enc_p, obs_h, intr,
+                disc_params=disc_p, disc_opt=disc_opt,
+            )
+            assert np.isfinite(float(loss_g)) and np.isfinite(float(loss_d))
+            # both generator and discriminator moved
+            leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+            assert np.abs(np.asarray(leaf(disc_p2) - leaf(disc_p))).max() > 0
+        else:
+            ad_p2, _, loss = p.update_adaptation(
+                ad_p, opt, enc_p, obs_h, intr, obs=obs_flat,
+                actor_params=actor_p, critic_params=critic_p,
+            )
+            assert np.isfinite(float(loss))
+        leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+        assert np.abs(np.asarray(leaf(ad_p2) - leaf(ad_p))).max() >= 0
+
+
 def test_ppo_rnn_act_and_train():
     cfg = PPORNNCfg(train_seq_len=4, num_minibatches=2, ppo_epochs=1,
                     rnn_hidden=32)
