@@ -12,6 +12,7 @@ sharded dimension, exactly mirroring (and scaling out) the reference.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -21,10 +22,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Join the multi-host JAX runtime (SURVEY §5.8: the reference has no
+    distributed backend; here multi-host = `jax.distributed` + DCN).
+
+    Arguments default to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), which
+    TPU pod runtimes set automatically.  A single-process run (no
+    coordinator configured) is a no-op.  Returns True iff the distributed
+    runtime was (or already is) initialized.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D data mesh over all (or the given) devices."""
-    devices = list(devices) if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (ENV_AXIS,))
+    """1-D data mesh over all (or the given) devices, ICI-topology-ordered.
+
+    Multi-host note: `jax.devices()` is the *global* device list, so the
+    same 1-D env mesh spans hosts; gradient reductions for the replicated
+    learner ride ICI within a slice and DCN across slices (the SPMD
+    partitioner inserts them — no NCCL-style backend code, per SURVEY §2.6).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) > 1:
+            from jax.experimental import mesh_utils
+
+            try:
+                arr = mesh_utils.create_device_mesh((len(devices),))
+                return Mesh(arr, (ENV_AXIS,))
+            except Exception:  # non-uniform topology: fall back to flat order
+                pass
+    return Mesh(np.asarray(list(devices)), (ENV_AXIS,))
+
+
+def local_env_slice(num_envs: int) -> slice:
+    """This process's contiguous shard of the global env axis — for host
+    code that prepares per-host data (e.g. AEG task injection) before
+    assembling a global array with
+    `jax.make_array_from_process_local_data`."""
+    per = num_envs // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)
 
 
 def env_sharding(mesh: Mesh) -> NamedSharding:

@@ -5,7 +5,10 @@
 Usage: python scripts/eval_sweep.py model_dir=runs/<run>/checkpoints [env.num_envs=N]
 """
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
 from mupe_tpu.envs.scenarios import EVAL_SCENARIOS
 from mupe_tpu.harness import evaluate
