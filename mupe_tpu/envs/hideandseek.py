@@ -344,12 +344,19 @@ class HideAndSeek:
         broadcast_detect = jnp.any(detect, axis=1)  # [E, 1]
         return blocked, broadcast_detect, target_rpos
 
-    def _tp_frame(self, state: HideAndSeekState) -> jnp.ndarray:
+    def _tp_frame(
+        self, state: HideAndSeekState, broadcast_detect: jnp.ndarray = None
+    ) -> jnp.ndarray:
         """One TP input frame (hideandseek.py:808-824): [t, masked target
-        pos, masked target vel, drone positions(, cylinder xy+radius)]."""
+        pos, masked target vel, drone positions(, cylinder xy+radius)].
+
+        `broadcast_detect` may be passed in when the caller already ran
+        `_detection` on the same state — the LoS sweep is the hot
+        [E × n × C] op and must run once per step, not three times."""
         cfg = self.cfg
         e = cfg.num_envs
-        _, broadcast_detect, _ = self._detection(state)
+        if broadcast_detect is None:
+            _, broadcast_detect, _ = self._detection(state)
         mask = ~broadcast_detect  # [E, 1]
         t_pos = jnp.where(mask[..., None], cfg.mask_value, state.target_pos)
         t_vel = jnp.where(mask[..., None], cfg.mask_value, state.target_vel)
@@ -372,10 +379,11 @@ class HideAndSeek:
 
     # ------------------------------------------------------------- observe
     def observe_full(
-        self, state: HideAndSeekState, tp_params
+        self, state: HideAndSeekState, tp_params, detection=None
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """(obs dict for actors, state dict for a centralized critic)
-        (hideandseek.py:746-917)."""
+        (hideandseek.py:746-917).  `detection` is the optional precomputed
+        `_detection(state)` triple so the per-step LoS sweep runs once."""
         cfg = self.cfg
         e, n = cfg.num_envs, cfg.num_agents
         d = state.drone
@@ -392,7 +400,9 @@ class HideAndSeek:
             cfg.obs_max_cylinder, cfg.mask_value,
         )
 
-        blocked, broadcast_detect, target_rpos = self._detection(state)
+        if detection is None:
+            detection = self._detection(state)
+        blocked, broadcast_detect, target_rpos = detection
         rpos_mask = (~broadcast_detect)[..., None, None]  # [E, 1, 1, 1]
         target_rpos_masked = jnp.where(rpos_mask, cfg.mask_value, target_rpos)
 
@@ -688,16 +698,36 @@ class HideAndSeek:
 
         # --- TP bookkeeping: append new frame to the history window
         mid = mid.replace(stats=st, v_prey=v_prey)
-        frame = self._tp_frame(mid)
+        frame = self._tp_frame(mid, broadcast_detect)
         history = jnp.concatenate(
             [state.history[:, 1:], frame[:, None, :]], axis=1
         )
         mid = mid.replace(history=history)
 
-        # --- auto-reset (overridable; the AEG env swaps in buffer tasks)
-        new_state = self._auto_reset(mid, st, done_env, key)
+        # --- auto-reset (overridable; the AEG env swaps in buffer tasks).
+        # Episodes are synchronized (progress starts at 0 everywhere and is
+        # zeroed on done), so `any_done` fires once per max_episode_length
+        # steps; gating the whole reset — including the full fresh-scene
+        # resample in `_fresh` — behind a `lax.cond` makes its amortized
+        # cost ~0 instead of a full scene sample every step.
+        def _reset_branch(op):
+            mid_, st_ = op
+            ns = self._auto_reset(mid_, st_, done_env, key)
+            return (ns,) + self._detection(ns)
 
-        obs, critic_state = self.observe_full(new_state, tp_params)
+        def _noop_branch(op):
+            mid_, _ = op
+            # advance the state key exactly like `_auto_reset` would
+            ns = mid_.replace(key=jax.random.split(key)[1])
+            return ns, blocked, broadcast_detect, target_rpos
+
+        new_state, nblocked, nbdetect, nrpos = jax.lax.cond(
+            jnp.any(done_env), _reset_branch, _noop_branch, (mid, st)
+        )
+
+        obs, critic_state = self.observe_full(
+            new_state, tp_params, detection=(nblocked, nbdetect, nrpos)
+        )
         tp_gt = normalize_groundtruth(
             new_state.target_pos[:, 0], cfg.arena_size, cfg.max_height
         )

