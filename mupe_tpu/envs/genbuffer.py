@@ -21,7 +21,12 @@ import numpy as np
 from flax import struct
 
 from ..ops.fps import farthest_point_sampling
-from .placement import Grid, continuous_to_grid, outside_circle_mask
+from .placement import (
+    Grid,
+    continuous_to_grid,
+    feasible_layout,
+    outside_circle_mask,
+)
 
 
 @struct.dataclass
@@ -132,7 +137,10 @@ def _sanity_check(
     tasks: jnp.ndarray, grid: Grid, num_agents: int, num_cylinders: int
 ) -> jnp.ndarray:
     """All entities on distinct, inside-circle cells
-    (hideandseek_envgen.py:185-207).  tasks: [..., D] → bool [...]."""
+    (hideandseek_envgen.py:185-207), and the expanded layout must keep a
+    feasible drone→target path (placement.py:54-101 — the reference runs
+    the DFS check inside its rejection loops; expansion noise can close a
+    passage, so the check belongs here too).  tasks: [..., D] → bool [...]."""
     pts = tasks.reshape(tasks.shape[:-1] + (num_agents + 1 + num_cylinders, 3))
     cells = continuous_to_grid(pts[..., :2], grid)       # [..., P, 2]
     flat = cells[..., 0] * grid.num_grid + cells[..., 1]  # [..., P]
@@ -144,7 +152,13 @@ def _sanity_check(
         & (~jnp.eye(flat.shape[-1], dtype=bool)),
         axis=(-2, -1),
     )
-    return ~(hits_outside | dup)
+    n = num_agents
+    cyl = pts[..., n + 1 :, :]
+    feas = feasible_layout(
+        pts[..., :n, :2], pts[..., n : n + 1, :2],
+        cyl[..., :2], cyl[..., 2] > 0.0, grid,
+    )
+    return ~(hits_outside | dup) & feas
 
 
 def insert_weights(gb: GenBufferState, success: jnp.ndarray) -> GenBufferState:

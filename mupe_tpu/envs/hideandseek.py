@@ -30,6 +30,7 @@ from ..transforms.ctbr import hover_prev_action_init, pid_rate_transform
 from .base import Transition, register_env, where_done
 from .geometry import k_nearest_cylinders, line_blocked_by_cylinder
 from .placement import (
+    feasible_layout,
     make_grid,
     outside_circle_mask,
     sample_cylinders,
@@ -72,6 +73,8 @@ class HideAndSeekCfg:
     max_cylinders: int = 5
     fixed_cylinders: Optional[int] = None
     obs_max_cylinder: int = 3
+    # bounded re-draw attempts for path-feasible layouts (placement.py:692)
+    scene_redraws: int = 3
     # scenario / eval
     use_random_cylinder: bool = True
     scenario_flag: str = "wall"
@@ -142,6 +145,7 @@ _EP_NORMALIZED = (
     "collision",
     "action_error_order1_mean",
     "target_predicted_error",
+    "distance_predicted_reward",
     "smoothness_mean",
     "smoothness_reward",
     "distance_reward",
@@ -170,6 +174,12 @@ class HideAndSeekState:
     update_epoch: jnp.ndarray     # [] smoothness ramp (train_deploy.py:270)
     key: jnp.ndarray
     gen: Any = None               # AEG GenBufferState (envgen only)
+    # last TP prediction [E, fut, 3] (world frame) — drives the
+    # target_predicted_error stat and the render overlay.  The reference
+    # declares both TP stats but never accumulates them
+    # (hideandseek.py:405,421,1024 — div of an always-zero buffer); here
+    # they are real.
+    tp_pred: Any = None
 
 
 @register_env("HideAndSeek")
@@ -188,6 +198,13 @@ class HideAndSeek:
             future_prediction_step=cfg.future_prediction_step,
             window_step=cfg.window_step,
         )
+        if cfg.num_agents > 4 and (cfg.use_eval or not cfg.use_random_cylinder):
+            # the fixed spawn tables (reference hideandseek.py:632-682) only
+            # define 4 pursuer slots; silently broadcasting would alias spawns
+            raise ValueError(
+                "fixed eval/scenario spawn tables support at most 4 agents; "
+                f"got num_agents={cfg.num_agents}"
+            )
         if not cfg.use_random_cylinder:
             cyl, n_active = scenario_cylinders(
                 cfg.scenario_flag,
@@ -275,17 +292,46 @@ class HideAndSeek:
         quat = euler_to_quaternion(rpy)
 
         if cfg.use_random_cylinder:
-            xy, active = sample_cylinders(
-                k_cyl,
-                drone_pos[..., :2],
-                target_pos[..., :2],
-                self.grid,
-                cfg.num_cylinders,
-                cfg.min_cylinders,
-                cfg.max_cylinders,
-                cfg.fixed_cylinders,
-            )
             idx = jnp.arange(cfg.num_cylinders)[None, :]
+
+            def draw(k):
+                xy, active = sample_cylinders(
+                    k,
+                    drone_pos[..., :2],
+                    target_pos[..., :2],
+                    self.grid,
+                    cfg.num_cylinders,
+                    cfg.min_cylinders,
+                    cfg.max_cylinders,
+                    cfg.fixed_cylinders,
+                )
+                ok = feasible_layout(
+                    drone_pos[..., :2], target_pos[..., :2], xy,
+                    idx < active, self.grid,
+                )
+                return xy, active, ok
+
+            # bounded masked re-draw until every env has a feasible
+            # drone→target path (placement.py:692-865 validation loop);
+            # after `scene_redraws` attempts the stragglers fall back to
+            # zero active cylinders (trivially feasible)
+            xy, active, ok = draw(k_cyl)
+
+            def retry(carry, k):
+                xy, active, ok = carry
+                xy2, active2, ok2 = draw(k)
+                take = (~ok) & ok2
+                xy = jnp.where(take[:, None, None], xy2, xy)
+                active = jnp.where(take[:, None], active2, active)
+                return (xy, active, ok | ok2), None
+
+            retry_keys = jax.random.split(
+                jax.random.fold_in(k_cyl, 1), cfg.scene_redraws
+            )
+            (xy, active, ok), _ = jax.lax.scan(
+                retry, (xy, active, ok), retry_keys
+            )
+            active = jnp.where(ok[:, None], active, 0)
             z = jnp.where(
                 idx < active, 0.5 * cfg.max_height, INVALID_Z
             )[..., None]
@@ -319,6 +365,7 @@ class HideAndSeek:
             stats=stats,
             update_epoch=jnp.asarray(update_epoch, jnp.float32),
             key=k_next,
+            tp_pred=jnp.zeros((e, cfg.future_prediction_step, 3)),
         )
         # prime the TP history with the initial frame (hideandseek.py:825-828)
         frame = self._tp_frame(state)
@@ -377,13 +424,25 @@ class HideAndSeek:
             parts.append(cyl.reshape(e, -1))
         return jnp.concatenate(parts, axis=-1)
 
+    def _tp_predict(self, tp_params, history: jnp.ndarray) -> jnp.ndarray:
+        """TP forward + denormalization → predicted world positions
+        [E, fut, 3] (hideandseek.py:832-837)."""
+        cfg = self.cfg
+        pred_norm = self.tp_net.apply(tp_params, history)  # [E, 3·fut]
+        return denormalize_predictions(
+            pred_norm.reshape(cfg.num_envs, cfg.future_prediction_step, 3),
+            cfg.arena_size,
+            cfg.max_height,
+        )
+
     # ------------------------------------------------------------- observe
     def observe_full(
-        self, state: HideAndSeekState, tp_params, detection=None
+        self, state: HideAndSeekState, tp_params, detection=None, pred=None
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """(obs dict for actors, state dict for a centralized critic)
         (hideandseek.py:746-917).  `detection` is the optional precomputed
-        `_detection(state)` triple so the per-step LoS sweep runs once."""
+        `_detection(state)` triple so the per-step LoS sweep runs once;
+        `pred` likewise short-circuits the TP forward."""
         cfg = self.cfg
         e, n = cfg.num_envs, cfg.num_agents
         d = state.drone
@@ -411,12 +470,8 @@ class HideAndSeek:
 
         obs: Dict[str, jnp.ndarray] = {}
         if cfg.use_tp_net:
-            pred_norm = self.tp_net.apply(tp_params, state.history)  # [E, 3·fut]
-            pred = denormalize_predictions(
-                pred_norm.reshape(e, cfg.future_prediction_step, 3),
-                cfg.arena_size,
-                cfg.max_height,
-            )
+            if pred is None:
+                pred = self._tp_predict(tp_params, state.history)
             # [E, n, fut·3] relative predicted positions (hideandseek.py:844)
             rpos_pred = (
                 d.pos[:, :, None, :] - pred[:, None, :, :]
@@ -490,6 +545,7 @@ class HideAndSeek:
             progress=jnp.where(done_env, 0, mid.progress),
             history=sel(fresh.history, mid.history),
             stats=sel(fresh.stats, st),
+            tp_pred=sel(fresh.tp_pred, mid.tp_pred),
             key=k_next,
         )
 
@@ -556,6 +612,28 @@ class HideAndSeek:
         st["distance_reward"] = st["distance_reward"] + jnp.mean(
             distance_reward, axis=-1, keepdims=True
         )
+
+        # TP health (real accumulation; the reference only declares these
+        # keys, hideandseek.py:405,421): horizon-1 prediction error and the
+        # distance-to-predicted-target analogue of distance_reward.  First
+        # step of an episode has no prior prediction → masked out.
+        if cfg.use_tp_net and tp_params is not None:
+            tp_valid = (state.progress > 0)[:, None].astype(jnp.float32)
+            err1 = jnp.linalg.norm(
+                state.tp_pred[:, 0] - target_pos[:, 0], axis=-1, keepdims=True
+            )
+            st["target_predicted_error"] = (
+                st["target_predicted_error"] + tp_valid * err1
+            )
+            dist_pred = jnp.linalg.norm(
+                drone.pos - state.tp_pred[:, None, 0, :], axis=-1
+            )  # [E, n]
+            st["distance_predicted_reward"] = st[
+                "distance_predicted_reward"
+            ] + tp_valid * (
+                -cfg.dist_reward_coef
+                * jnp.mean(dist_pred, axis=-1, keepdims=True)
+            )
 
         detect_b = jnp.broadcast_to(broadcast_detect, (e, n))
         detect_reward = cfg.detect_reward_coef * detect_b
@@ -725,8 +803,14 @@ class HideAndSeek:
             jnp.any(done_env), _reset_branch, _noop_branch, (mid, st)
         )
 
+        if cfg.use_tp_net and tp_params is not None:
+            pred = self._tp_predict(tp_params, new_state.history)
+            new_state = new_state.replace(tp_pred=pred)
+        else:
+            pred = None
         obs, critic_state = self.observe_full(
-            new_state, tp_params, detection=(nblocked, nbdetect, nrpos)
+            new_state, tp_params, detection=(nblocked, nbdetect, nrpos),
+            pred=pred,
         )
         tp_gt = normalize_groundtruth(
             new_state.target_pos[:, 0], cfg.arena_size, cfg.max_height
@@ -747,6 +831,12 @@ class HideAndSeek:
             "target_pos": target_pos,
             "cylinders": state.cylinders,
             "capture": capture_flag.astype(jnp.float32),
+            # predicted evader overlay (hideandseek.py:1226-1229)
+            "tp_pred": (
+                pred
+                if pred is not None
+                else jnp.zeros((e, cfg.future_prediction_step, 3))
+            ),
         }
         return new_state, Transition(
             obs=obs,

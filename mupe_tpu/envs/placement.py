@@ -209,3 +209,47 @@ def has_feasible_path(
     reach_flat = reach.reshape(reach.shape[:-2] + (g * g,))
     hit = jnp.take_along_axis(reach_flat, goals_flat, axis=-1)
     return jnp.all(hit, axis=-1)
+
+
+def active_cylinder_occupancy(
+    cyl_xy: jnp.ndarray,      # [..., C, 2]
+    active_mask: jnp.ndarray,  # bool [..., C]
+    grid: Grid,
+) -> jnp.ndarray:
+    """Occupancy grid of *active* cylinders only → bool [..., G, G]."""
+    cells = continuous_to_grid(cyl_xy, grid)
+    flat = cells[..., 0] * grid.num_grid + cells[..., 1]
+    g2 = grid.num_grid * grid.num_grid
+    onehot = jax.nn.one_hot(flat, g2, dtype=jnp.bool_)
+    onehot = onehot & active_mask[..., None]
+    occ = jnp.any(onehot, axis=-2)
+    return occ.reshape(occ.shape[:-1] + (grid.num_grid, grid.num_grid))
+
+
+def feasible_layout(
+    drone_xy: jnp.ndarray,     # [..., n, 2]
+    target_xy: jnp.ndarray,    # [..., 1, 2]
+    cyl_xy: jnp.ndarray,       # [..., C, 2]
+    active_mask: jnp.ndarray,  # bool [..., C]
+    grid: Grid,
+) -> jnp.ndarray:
+    """Per-env task validity (placement.py:54-101 `has_feasible_path` +
+    :692-865 validation loop): the target's cell and every drone's cell must
+    be free (inside the arena, not under an active cylinder) and connected
+    by 4-neighbor moves through free cells.  Returns bool [...]."""
+    free = ~(
+        jnp.asarray(outside_circle_mask(grid.num_grid))
+        | active_cylinder_occupancy(cyl_xy, active_mask, grid)
+    )
+    start = continuous_to_grid(target_xy[..., 0, :], grid)      # [..., 2]
+    goals = continuous_to_grid(drone_xy, grid)                  # [..., n, 2]
+    g = grid.num_grid
+    # start/goal cells themselves must be free
+    occ_flat = (~free).reshape(free.shape[:-2] + (g * g,))
+    pts = jnp.concatenate([start[..., None, :], goals], axis=-2)
+    pts_flat = pts[..., 0] * g + pts[..., 1]
+    on_free = ~jnp.any(
+        jnp.take_along_axis(occ_flat, pts_flat, axis=-1), axis=-1
+    )
+    n_iters = (g * g) // 2 + 1
+    return on_free & has_feasible_path(free, start, goals, n_iters)

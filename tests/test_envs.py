@@ -192,3 +192,34 @@ def test_has_masked_target_consistency(has_env, has_setup):
     blocked_rows = np.all(rpos == -5.0, axis=-1)
     ok = np.isclose(rpos, expected, atol=1e-5).all(-1) | blocked_rows
     assert ok.all()
+
+
+def test_curriculum_trigger_only_at_episode_end():
+    """Episodes are synchronized (progress zeroed batch-wide on done), so the
+    v_prey curriculum gate `mean(success) >= 0.98 at any_done`
+    (hideandseek.py step) fires on fully-accumulated episode stats — the
+    reference's episode-end batch capture rate (ref hideandseek.py:1012-1015).
+    This pins the timing: v_prey must never change mid-episode, and all envs
+    must finish together."""
+    from mupe_tpu.envs.hideandseek import HideAndSeek, HideAndSeekCfg
+
+    cfg = HideAndSeekCfg(num_envs=4, max_episode_length=6)
+    env = HideAndSeek(cfg)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    tp = env.tp_net.init(
+        jax.random.PRNGKey(1), jnp.zeros((4, cfg.history_step, cfg.tp_input_dim))
+    )
+    stepf = jax.jit(env.step)
+    key = jax.random.PRNGKey(2)
+    v_prev = float(state.v_prey)
+    for i in range(13):
+        key, k1, k2 = jax.random.split(key, 3)
+        action = 0.1 * jax.random.normal(k1, (4, 3, 4))
+        state, tr = stepf(state, action, k2, tp)
+        done = np.asarray(tr.done)
+        # synchronized episodes: all envs agree on done
+        assert done.min() == done.max()
+        v_now = float(state.v_prey)
+        if not done.any():
+            assert v_now == v_prev, f"v_prey changed mid-episode at step {i}"
+        v_prev = v_now

@@ -182,3 +182,67 @@ def test_sample_history_prefix_only():
     )
     out = sample_history(jax.random.PRNGKey(0), gb, 64)
     assert float(out.max()) <= 3.0
+
+
+def test_feasible_layout_detects_enclosure():
+    from mupe_tpu.envs.placement import feasible_layout
+
+    # target at center, ring of active cylinders around its cell
+    target_xy = jnp.zeros((1, 1, 2))
+    drone_xy = jnp.asarray([[[0.6, 0.0], [-0.6, 0.0], [0.0, -0.6]]])
+    ring = jnp.asarray(
+        [[[0.2, 0.0], [-0.2, 0.0], [0.0, 0.2], [0.0, -0.2],
+          [0.2, 0.2], [-0.2, -0.2], [0.2, -0.2], [-0.2, 0.2]]]
+    )
+    active = jnp.ones((1, 8), bool)
+    ok = feasible_layout(drone_xy, target_xy, ring, active, GRID)
+    assert not bool(ok[0])
+    # deactivate the ring → feasible
+    ok2 = feasible_layout(
+        drone_xy, target_xy, ring, jnp.zeros((1, 8), bool), GRID
+    )
+    assert bool(ok2[0])
+
+
+def test_sampled_scenes_always_feasible():
+    """Property (VERDICT item 4): every task produced by `_sample_scene`
+    has a feasible drone→target path (reference placement.py:692-865)."""
+    from mupe_tpu.envs.hideandseek import HideAndSeek, HideAndSeekCfg
+    from mupe_tpu.envs.placement import feasible_layout
+    from mupe_tpu.envs.scenarios import INVALID_Z
+
+    cfg = HideAndSeekCfg(num_envs=512, use_cl_spawn=True, cl_bound=3)
+    env = HideAndSeek(cfg)
+    for seed in (0, 1):
+        d, _, t, cyl = jax.jit(env._sample_scene)(jax.random.PRNGKey(seed))
+        ok = feasible_layout(
+            d[..., :2], t[..., :2], cyl[..., :2], cyl[..., 2] > 0.0, env.grid
+        )
+        assert bool(jnp.all(ok)), f"seed {seed}: infeasible scenes sampled"
+        # and not via the degenerate fallback everywhere: most envs keep
+        # their cylinders
+        active_counts = jnp.sum(cyl[..., 2] > 0.0, axis=-1)
+        assert float(jnp.mean(active_counts >= cfg.min_cylinders)) > 0.9
+
+
+def test_sanity_check_rejects_infeasible_expansion():
+    # task layout: 3 drones + target + 8 cylinders enclosing the target
+    n, c = 3, 8
+    drone = np.array([[0.6, 0.0, 0.6], [-0.6, 0.0, 0.6], [0.0, -0.6, 0.6]])
+    target = np.array([[0.0, 0.0, 0.6]])
+    ring = np.array(
+        [[0.2, 0.0], [-0.2, 0.0], [0.0, 0.2], [0.0, -0.2],
+         [0.2, 0.2], [-0.2, -0.2], [0.2, -0.2], [-0.2, 0.2]]
+    )
+    cyl = np.concatenate([ring, np.full((c, 1), 0.6)], axis=-1)
+    task = jnp.asarray(
+        np.concatenate([drone.ravel(), target.ravel(), cyl.ravel()])
+    )[None]
+    assert not bool(_sanity_check(task, GRID, n, c)[0])
+    # parked cylinders (z<0) are inactive → feasible
+    cyl_parked = cyl.copy()
+    cyl_parked[:, 2] = -20.0
+    task2 = jnp.asarray(
+        np.concatenate([drone.ravel(), target.ravel(), cyl_parked.ravel()])
+    )[None]
+    assert bool(_sanity_check(task2, GRID, n, c)[0])
