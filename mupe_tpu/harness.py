@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from pathlib import Path
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -21,7 +22,9 @@ from .envs.hideandseek import HideAndSeek, HideAndSeekCfg
 from .envs.hideandseek_envgen import HideAndSeekEnvgen, HideAndSeekEnvgenCfg
 from .learning import (MAPPOCfg, MAPPOPolicy, init_carry,
                        make_split_train_iter, make_train_iter)
-from .parallel import make_mesh, shard_carry
+from .learning.registry import is_recurrent, make_policy
+from .learning.rollout import init_rnn_carry, make_rnn_train_iter
+from .parallel import init_distributed, make_mesh, shard_carry
 from .utils.checkpoint import load_checkpoint, save_checkpoint
 from .utils.config import RunCfg, apply_overrides, parse_cli
 from .utils.logging import RunLogger, config_dict
@@ -37,31 +40,20 @@ def build(
     task: str,
     env_overrides: Optional[Dict[str, Any]] = None,
     algo_overrides: Optional[Dict[str, Any]] = None,
+    algo: str = "mappo",
 ):
-    """Instantiate (env, policy, env_cfg, algo_cfg) for a task name."""
+    """Instantiate (env, policy, env_cfg, algo_cfg) for a task + algo name
+    (the reference's algo dispatch, scripts/train.py:176-186)."""
     env_cls, cfg_cls = TASK_CFGS[task]
     env_cfg = apply_overrides(cfg_cls(), env_overrides or {})
+    # TP-net predictions in the obs are a MAPPO feature (the env consumes the
+    # policy's TP params at observe time); other algos carry no TP params, so
+    # force the env-side flag off for them.
+    if algo.lower() != "mappo" and hasattr(env_cfg, "use_tp_net"):
+        env_cfg = dataclasses.replace(env_cfg, use_tp_net=False)
     env = env_cls(env_cfg)
-
-    algo_cfg = MAPPOCfg()
-    is_multi = getattr(env, "provides_tp", False)
-    if is_multi:
-        algo_cfg = dataclasses.replace(
-            algo_cfg,
-            use_tp_net=env_cfg.use_tp_net,
-            future_prediction_step=env_cfg.future_prediction_step,
-            window_step=env_cfg.window_step,
-        )
-    algo_cfg = apply_overrides(algo_cfg, algo_overrides or {})
-
-    policy = MAPPOPolicy(
-        algo_cfg,
-        n_agents=env.num_agents,
-        action_dim=env.action_dim,
-        obs_is_dict=is_multi,
-        tp_input_dim=env_cfg.tp_input_dim if is_multi else None,
-    )
-    return env, policy, env_cfg, algo_cfg
+    policy = make_policy(algo, env, algo_overrides)
+    return env, policy, env_cfg, policy.cfg
 
 
 def train(
@@ -77,34 +69,85 @@ def train(
     """
     sections, top = parse_cli(argv)
     run_cfg = apply_overrides(RunCfg(task=default_task), top)
+    # join the multi-host runtime first (no-op single-process): device
+    # discovery below must see the global mesh (SURVEY §5.8)
+    init_distributed()
+    if run_cfg.algo == "ppo_adapt":
+        return train_rma(run_cfg, sections)
     env, policy, env_cfg, algo_cfg = build(
-        run_cfg.task, sections.get("env"), sections.get("algo")
+        run_cfg.task, sections.get("env"), sections.get("algo"),
+        algo=run_cfg.algo,
     )
     if deploy_stage and hasattr(env_cfg, "use_deployment"):
         env_cfg = dataclasses.replace(env_cfg, use_deployment=True)
         env = type(env)(env_cfg)
 
+    # rank-0-only metric sinks; checkpoints are written by all ranks
+    # (orbax coordinates, primary host writes), so the run dir must agree
+    # across ranks — broadcast rank 0's timestamp
+    is_main = jax.process_index() == 0
+    run_name = run_cfg.run_name
+    if run_name is None:
+        stamp = time.time()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            stamp = int(
+                multihost_utils.broadcast_one_to_all(
+                    jax.numpy.asarray(int(stamp))
+                )
+            )
+        run_name = time.strftime("%Y%m%d-%H%M%S", time.localtime(stamp))
+    ckpt_dir = Path(run_cfg.run_dir) / run_name / "checkpoints"
     logger = RunLogger(
         run_cfg.run_dir,
-        run_cfg.run_name,
+        run_name,
         wandb_mode=run_cfg.wandb_mode,
         wandb_project=run_cfg.wandb_project,
         wandb_entity=run_cfg.wandb_entity,
         config=config_dict(run_cfg, env_cfg, algo_cfg),
-    )
+    ) if is_main else None
 
     key = jax.random.PRNGKey(run_cfg.seed)
-    carry = init_carry(env, policy, key)
+    mesh = make_mesh()
+    use_mesh = mesh if mesh.devices.size > 1 else None
+    recurrent = is_recurrent(policy)
+    if recurrent:
+        carry = init_rnn_carry(env, policy, key, mesh=use_mesh)
+    else:
+        carry = init_carry(env, policy, key, mesh=use_mesh)
     if run_cfg.model_dir:
+        # warm start: learner state only (reference model_dir semantics,
+        # scripts/train.py:188-191 — but including optimizer/value-norm/TP,
+        # which the reference rebuilds)
         carry = carry.replace(
             ts=load_checkpoint(run_cfg.model_dir, target=carry.ts)
         )
-    mesh = make_mesh()
-    if mesh.devices.size > 1:
-        carry = shard_carry(carry, mesh)
+    if run_cfg.resume_dir:
+        # exact resume: the FULL carry — learner + env state including
+        # curriculum scalars (v_prey, update_epoch), the AEG buffer and the
+        # PRNG key (SURVEY §5.4 gaps; reference loses all of these)
+        carry = load_checkpoint(run_cfg.resume_dir, target=carry)
     # split rollout/update programs: bounded compile time on the TPU
     # relay backend (see learning/rollout.py)
-    train_iter = make_split_train_iter(env, policy)
+    if recurrent:
+        train_iter = make_rnn_train_iter(env, policy)
+    else:
+        train_iter = make_split_train_iter(env, policy)
+    if run_cfg.guard_nan:
+        # failure detection (SURVEY §5.3): skip updates whose loss went
+        # non-finite instead of corrupting the run.  Costs one scalar
+        # host sync per iteration — opt-in.
+        from .utils.debug import guard_train_iter
+
+        train_iter = guard_train_iter(train_iter)
+
+    # in-training evaluation (reference scripts/train.py:207-264)
+    do_eval = run_cfg.eval_interval > 0 and not recurrent
+    if do_eval:
+        eval_prog = _make_eval_prog(
+            env, policy, collect_frames=bool(run_cfg.video)
+        )
 
     frames_per_iter = env.num_envs * algo_cfg.train_every
     if run_cfg.max_iters > 0:
@@ -116,7 +159,18 @@ def train(
     last_metrics: Dict[str, float] = {}
     t_start = time.time()
     t_block = t_start
+    import contextlib
+
+    prof_stack = contextlib.ExitStack()
     for i in range(num_iters):
+        if run_cfg.profile_dir and is_main:
+            # capture a jax.profiler trace of iterations 1-3 (§5.1)
+            if i == 1:
+                from .utils.debug import profile_trace
+
+                prof_stack.enter_context(profile_trace(run_cfg.profile_dir))
+            elif i == 4:
+                prof_stack.close()
         if deploy_stage:
             carry = carry.replace(
                 env_state=carry.env_state.replace(
@@ -136,14 +190,326 @@ def train(
                 "rollout_fps": fps,
                 "env_frames": env_frames,
             }
-            logger.log(row, step=env_frames)
+            if logger is not None:
+                logger.log(row, step=env_frames)
             last_metrics = {k: float(np.asarray(v)) for k, v in row.items()}
+        if do_eval and (i + 1) % run_cfg.eval_interval == 0:
+            ev_stats, ev_frames = eval_prog(
+                carry.ts,
+                jax.random.fold_in(jax.random.PRNGKey(run_cfg.seed + 7919), i),
+            )
+            ev_row = {
+                f"eval/{k}": float(np.asarray(v)) for k, v in ev_stats.items()
+            }
+            if logger is not None:
+                logger.log(ev_row, step=env_frames)
+                if ev_frames is not None:
+                    from .utils.render import episode_video
+
+                    episode_video(
+                        {k: np.asarray(v) for k, v in ev_frames.items()},
+                        env.cfg,
+                        str(logger.dir / f"eval_{i + 1}.gif"),
+                        env_index=run_cfg.video_env_index,
+                    )
+            last_metrics.update(ev_row)
         if run_cfg.save_interval > 0 and (i + 1) % run_cfg.save_interval == 0:
-            save_checkpoint(logger.dir / "checkpoints", i + 1, carry.ts)
-    save_checkpoint(logger.dir / "checkpoints", num_iters, carry.ts)
-    logger.close()
+            save_checkpoint(ckpt_dir, i + 1, carry.ts)
+            save_checkpoint(ckpt_dir / "full", i + 1, carry)
+    prof_stack.close()
+    save_checkpoint(ckpt_dir, num_iters, carry.ts)
+    save_checkpoint(ckpt_dir / "full", num_iters, carry)
+    if logger is not None:
+        logger.close()
     last_metrics["total_time_s"] = time.time() - t_start
     return last_metrics
+
+
+def _make_eval_prog(env, policy, collect_frames: bool = False):
+    """One-episode deterministic evaluation as a single jitted program
+    (reference scripts/train.py:207-264 `evaluate`): fresh reset, greedy
+    policy, done-masked episode stats; optionally per-step render frames."""
+    provides_tp = getattr(env, "provides_tp", False)
+    render_keys = ("target_pos", "cylinders", "capture", "tp_pred")
+    length = env.cfg.max_episode_length
+
+    def eval_step(c, _):
+        ts, env_state, obs, state, key = c
+        key, k_act, k_env = jax.random.split(key, 3)
+        action, _, _ = policy.act(
+            ts, obs, k_act, deterministic=True, state=state
+        )
+        if provides_tp:
+            env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
+        else:
+            env_state, tr = env.step(env_state, action, k_env)
+        nxt = tr.info.get("state") if isinstance(tr.info, dict) else None
+        out = (tr.done, tr.stats)
+        if collect_frames:
+            frame = {"drone_pos": tr.info["drone_state"][..., :3]}
+            frame.update({k: tr.info[k] for k in render_keys if k in tr.info})
+            out = out + (frame,)
+        return (ts, env_state, tr.obs, nxt, key), out
+
+    @jax.jit
+    def prog(ts, key):
+        import jax.numpy as jnp
+
+        k_env, k_roll = jax.random.split(key)
+        env_state = env.reset(k_env)
+        tp = getattr(ts, "tp_params", None)
+        if hasattr(env, "observe_full"):
+            obs, state = env.observe_full(env_state, tp)
+        else:
+            obs, state = env.observe(env_state), None
+        _, out = jax.lax.scan(
+            eval_step, (ts, env_state, obs, state, k_roll), None, length=length
+        )
+        done, stats = out[0], out[1]
+        n_done = jnp.sum(done)
+        ep_stats = {
+            k: jnp.sum(v * done) / jnp.clip(n_done, 1, None)
+            for k, v in stats.items()
+        }
+        ep_stats["episode_count"] = n_done
+        if collect_frames:
+            return ep_stats, out[2]
+        return ep_stats, None
+
+    return prog
+
+
+def train_rma(run_cfg: RunCfg, sections: Dict[str, Dict[str, Any]]) -> Dict[str, float]:
+    """RMA-style three-phase training for `algo=ppo_adapt` (reference
+    learning/ppo/ppo_adapt.py:144-666; phases chained by `model_dir` in the
+    reference, run back-to-back here):
+
+      1. encoder    — PPO with privileged context z = E(intrinsics);
+      2. adaptation — policy frozen, TConv module A(obs history) trained to
+                      reproduce z (cfg.adaptation_loss selects the variant);
+      3. finetune   — act from ẑ = A(history), finetune the whole policy.
+
+    Weights shared between phases are transplanted across the phase-specific
+    param trees (the actor wrapper swaps its context source submodule).
+    """
+    import jax.numpy as jnp
+    import optax
+
+    env_over = dict(sections.get("env") or {})
+    algo_over = dict(sections.get("algo") or {})
+    # ppo_adapt needs intrinsics + obs history; default the Hover DR block
+    # (reference cfg/task/Hover.yaml randomization ranges) when unset
+    if run_cfg.task == "Hover":
+        if not any(k.startswith("dr_") for k in env_over):
+            env_over.setdefault("dr_mass_scale", (0.8, 1.2))
+            env_over.setdefault("dr_t2w_scale", (0.9, 1.1))
+            env_over.setdefault("dr_drag_scale", (0.5, 1.5))
+        env_over.setdefault("obs_history_len", 32)
+
+    env, policy1, env_cfg, algo_cfg = build(
+        run_cfg.task, env_over, algo_over, algo="ppo_adapt"
+    )
+    from .learning.ppo.ppo_adapt import PPOAdaptivePolicy
+
+    logger = RunLogger(
+        run_cfg.run_dir,
+        run_cfg.run_name,
+        wandb_mode=run_cfg.wandb_mode,
+        wandb_project=run_cfg.wandb_project,
+        wandb_entity=run_cfg.wandb_entity,
+        config=config_dict(run_cfg, env_cfg, algo_cfg),
+    )
+    frames_per_iter = env.num_envs * algo_cfg.train_every
+    if run_cfg.max_iters > 0:
+        total_iters = run_cfg.max_iters
+    else:
+        total_iters = max(4, run_cfg.total_frames // frames_per_iter)
+    n1 = max(1, total_iters // 2)
+    n2 = max(1, total_iters // 4)
+    n3 = max(1, total_iters - n1 - n2)
+
+    key = jax.random.PRNGKey(run_cfg.seed)
+    env_frames = 0
+    last: Dict[str, float] = {}
+
+    def run_phase(policy, carry, n_iters, phase, train_iter):
+        nonlocal env_frames, last
+        t_block = time.time()
+        for i in range(n_iters):
+            carry, metrics, ep_stats = train_iter(carry)
+            env_frames += frames_per_iter
+            if (i + 1) % run_cfg.log_interval == 0 or i == n_iters - 1:
+                jax.block_until_ready(carry.key)
+                now = time.time()
+                fps = (
+                    frames_per_iter
+                    * min(run_cfg.log_interval, i + 1)
+                    / max(now - t_block, 1e-9)
+                )
+                t_block = now
+                row = {
+                    **{k: np.asarray(v) for k, v in metrics.items()},
+                    **{f"stats/{k}": np.asarray(v) for k, v in ep_stats.items()},
+                    "rollout_fps": fps,
+                    "env_frames": env_frames,
+                    "rma_phase": {"encoder": 1, "adaptation": 2, "finetune": 3}[phase],
+                }
+                logger.log(row, step=env_frames)
+                last = {k: float(np.asarray(v)) for k, v in row.items()}
+        return carry
+
+    # ---------------- phase 1: encoder ----------------
+    carry = init_carry(env, policy1, key)
+    carry = run_phase(
+        policy1, carry, n1, "encoder", make_split_train_iter(env, policy1)
+    )
+    ts1 = carry.ts
+
+    # ---------------- phase 2: adaptation ----------------
+    adapt_over = dict(algo_over)
+    adapt_over["phase"] = "adaptation"
+    policy2: PPOAdaptivePolicy = make_policy("ppo_adapt", env, adapt_over)
+    key, k2 = jax.random.split(carry.key)
+    ts2 = jax.jit(policy2.init)(k2, carry.obs)
+    # transplant: actor body + critic + value norm from phase 1; the frozen
+    # intrinsics encoder (supervision target) comes from the phase-1 actor
+    a2 = dict(ts2.actor_params["params"])
+    a2["_AdaptActor_0"] = ts1.actor_params["params"]["_AdaptActor_0"]
+    ts2 = ts2.replace(
+        actor_params={"params": a2},
+        critic_params=ts1.critic_params,
+        value_norm=ts1.value_norm,
+    )
+    target_encoder = {"params": ts1.actor_params["params"]["encoder"]}
+    actor_body = {"params": ts1.actor_params["params"]["_AdaptActor_0"]}
+    critic_body = {"params": ts1.critic_params["params"]["_AdaptCritic_0"]}
+    carry = carry.replace(ts=ts2, key=key)
+
+    variant = policy2.adapt_cfg.adaptation_loss
+    adapt_opt = policy2.adapt_tx.init(
+        {"params": ts2.actor_params["params"]["adaptation"]}
+    )
+    disc_params = disc_opt = None
+    if variant in ("gan", "lsgan"):
+        key, kd = jax.random.split(key)
+        disc_params = policy2.discriminator.init(
+            kd, jnp.zeros((1, policy2.adapt_cfg.context_dim))
+        )
+        disc_opt = policy2.disc_tx.init(disc_params)
+
+    rollout_prog = _make_rollout_prog(env, policy2)
+
+    @jax.jit
+    def adapt_update(ts, traj, adapt_opt, disc_params, disc_opt):
+        obs = traj["obs"]
+        flat = lambda x: x.reshape((-1,) + x.shape[3:])
+        obs_h = flat(obs["observation_h"])
+        intr = flat(obs["intrinsics"])
+        o = flat(obs["observation"])
+        adaptation_params = {"params": ts.actor_params["params"]["adaptation"]}
+        out = policy2.update_adaptation(
+            adaptation_params, adapt_opt, target_encoder, obs_h, intr,
+            obs=o, actor_params=actor_body, critic_params=critic_body,
+            disc_params=disc_params, disc_opt=disc_opt,
+        )
+        if variant in ("gan", "lsgan"):
+            new_ap, adapt_opt, loss, disc_params, disc_opt, loss_d = out
+            metrics = {"adaptation_loss": loss, "disc_loss": loss_d}
+        else:
+            new_ap, adapt_opt, loss = out
+            metrics = {"adaptation_loss": loss}
+        a = dict(ts.actor_params["params"])
+        a["adaptation"] = new_ap["params"]
+        ts = ts.replace(actor_params={"params": a})
+        return ts, adapt_opt, disc_params, disc_opt, metrics
+
+    t_block = time.time()
+    for i in range(n2):
+        carry, traj, ep_stats = rollout_prog(carry)
+        ts_new, adapt_opt, disc_params, disc_opt, metrics = adapt_update(
+            carry.ts, traj, adapt_opt, disc_params, disc_opt
+        )
+        carry = carry.replace(ts=ts_new)
+        env_frames += frames_per_iter
+        if (i + 1) % run_cfg.log_interval == 0 or i == n2 - 1:
+            jax.block_until_ready(carry.key)
+            now = time.time()
+            fps = (
+                frames_per_iter
+                * min(run_cfg.log_interval, i + 1)
+                / max(now - t_block, 1e-9)
+            )
+            t_block = now
+            row = {
+                **{k: np.asarray(v) for k, v in metrics.items()},
+                **{f"stats/{k}": np.asarray(v) for k, v in ep_stats.items()},
+                "rollout_fps": fps,
+                "env_frames": env_frames,
+                "rma_phase": 2,
+            }
+            logger.log(row, step=env_frames)
+            last = {k: float(np.asarray(v)) for k, v in row.items()}
+
+    # ---------------- phase 3: finetune ----------------
+    fin_over = dict(algo_over)
+    fin_over["phase"] = "finetune"
+    policy3: PPOAdaptivePolicy = make_policy("ppo_adapt", env, fin_over)
+    # identical param structure to phase 2 — reuse ts2's trees, fresh opts
+    ts3 = carry.ts.replace(
+        actor_opt=policy3.actor_tx.init(carry.ts.actor_params),
+        critic_opt=policy3.critic_tx.init(carry.ts.critic_params),
+    )
+    carry = carry.replace(ts=ts3)
+    carry = run_phase(
+        policy3, carry, n3, "finetune", make_split_train_iter(env, policy3)
+    )
+
+    save_checkpoint(logger.dir / "checkpoints", total_iters, carry.ts)
+    logger.close()
+    return last
+
+
+def _make_rollout_prog(env, policy):
+    """Jitted rollout-only program (the phase-2 adaptation loop needs
+    trajectories but no PPO update)."""
+    from .learning.rollout import IterCarry
+
+    cfg = policy.cfg
+
+    def rollout_step(carry, key):
+        ts, env_state, obs, state = carry
+        k_act, k_env = jax.random.split(key)
+        action, logp, value = policy.act(ts, obs, k_act, state=state)
+        env_state, tr = env.step(env_state, action, k_env)
+        collected = {"obs": obs, "done": tr.done, "stats": tr.stats}
+        nxt = tr.info.get("state") if isinstance(tr.info, dict) else None
+        return (ts, env_state, tr.obs, nxt), collected
+
+    @jax.jit
+    def rollout_prog(carry: IterCarry):
+        import jax.numpy as jnp
+
+        key, k_roll = jax.random.split(carry.key)
+        step_keys = jax.random.split(k_roll, cfg.train_every)
+        (ts, env_state, last_obs, last_state), traj = jax.lax.scan(
+            rollout_step,
+            (carry.ts, carry.env_state, carry.obs, carry.state),
+            step_keys,
+        )
+        done = traj["done"]
+        n_done = jnp.sum(done)
+        ep_stats = {
+            k: jnp.sum(v * done) / jnp.clip(n_done, 1, None)
+            for k, v in traj["stats"].items()
+        }
+        ep_stats["episode_count"] = n_done
+        traj = {k: v for k, v in traj.items() if k != "stats"}
+        new_carry = carry.replace(
+            ts=ts, env_state=env_state, obs=last_obs, state=last_state, key=key
+        )
+        return new_carry, traj, ep_stats
+
+    return rollout_prog
 
 
 def evaluate(argv: Sequence[str]) -> Dict[str, float]:
@@ -154,7 +520,7 @@ def evaluate(argv: Sequence[str]) -> Dict[str, float]:
     env_over = dict(sections.get("env", {}))
     env_over.setdefault("use_eval", True)
     env, policy, env_cfg, algo_cfg = build(
-        run_cfg.task, env_over, sections.get("algo")
+        run_cfg.task, env_over, sections.get("algo"), algo=run_cfg.algo
     )
     key = jax.random.PRNGKey(run_cfg.seed)
     carry = init_carry(env, policy, key)
@@ -163,7 +529,7 @@ def evaluate(argv: Sequence[str]) -> Dict[str, float]:
             ts=load_checkpoint(run_cfg.model_dir, target=carry.ts)
         )
 
-    render_keys = ("target_pos", "cylinders", "capture")
+    render_keys = ("target_pos", "cylinders", "capture", "tp_pred")
     want_video = bool(run_cfg.video)
 
     def eval_step(carry_in, _):

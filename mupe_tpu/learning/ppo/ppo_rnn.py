@@ -155,7 +155,8 @@ class PPORNNPolicy:
         ts = {**ts, "value_norm": vn}
 
         # BPTT chunks: [T, E, ...] → [n_seq, L, ...] (ppo_rnn.py:396-414)
-        seq = cfg.train_seq_len
+        # BPTT chunk length cannot exceed the rollout length
+        seq = min(cfg.train_seq_len, t_len)
         n_chunk = t_len // seq
 
         def chunk(x):  # [T, E, ...] → [n_chunk * E, L, ...]

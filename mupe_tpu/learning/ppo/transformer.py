@@ -64,19 +64,31 @@ class TransformerEncoder(nn.Module):
 
 
 class _TransformerActor(nn.Module):
-    """Per-agent Gaussian head over [token ⊕ feature] (_ppo.py:69-90)."""
+    """Per-agent Gaussian head over [token ⊕ feature] (_ppo.py:69-90).
+
+    Two obs layouts:
+      * global token set per env (`per_agent_obs=False`): leaves
+        ``[..., k_i, d]`` with the n agent tokens first — read the first n
+        mixed tokens, one action each (the reference `_ppo` semantics);
+      * per-agent entity dicts (`per_agent_obs=True`, the HideAndSeek
+        layout): leaves ``[..., n, k_i, d]`` where token 0 of each agent's
+        set is its self token — read that token, one action per agent.
+    """
 
     n_agents: int
     action_dim: int
+    per_agent_obs: bool = False
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray]) -> Gaussian:
         tokens = _TokenEmbed()(obs)
         feats = TransformerEncoder()(tokens)
-        n = self.n_agents
+        n = 1 if self.per_agent_obs else self.n_agents
         x = jnp.concatenate(
             [tokens[..., :n, :], feats[..., :n, :]], axis=-1
         )
+        if self.per_agent_obs:
+            x = x[..., 0, :]
         x = MLP((128, 128))(x)
         return DiagGaussianHead(self.action_dim)(x)
 
@@ -85,11 +97,15 @@ class _TransformerCritic(nn.Module):
     """Per-agent values from the first n mixed tokens (_ppo.py:93-106)."""
 
     n_agents: int
+    per_agent_obs: bool = False
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         tokens = _TokenEmbed()(obs)
         feats = TransformerEncoder()(tokens)
+        if self.per_agent_obs:
+            x = MLP((128, 128))(feats[..., 0, :])
+            return nn.Dense(1, kernel_init=nn.initializers.orthogonal(0.01))(x)
         x = MLP((128, 128))(feats[..., : self.n_agents, :])
         v = nn.Dense(1, kernel_init=nn.initializers.orthogonal(0.01))(x)
         return v[..., 0, :] if self.n_agents == 1 else v
@@ -109,12 +125,13 @@ class TransformerPPOPolicy(MAPPOPolicy):
         cfg: MAPPOCfg = MAPPOCfg(use_tp_net=False),
         n_agents: int = 1,
         action_dim: int = 4,
+        per_agent_obs: bool = False,
     ):
         super().__init__(
             cfg,
             n_agents=n_agents,
             action_dim=action_dim,
             obs_is_dict=True,
-            actor_module=_TransformerActor(n_agents, action_dim),
-            critic_module=_TransformerCritic(n_agents),
+            actor_module=_TransformerActor(n_agents, action_dim, per_agent_obs),
+            critic_module=_TransformerCritic(n_agents, per_agent_obs),
         )

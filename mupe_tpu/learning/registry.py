@@ -139,8 +139,13 @@ def _make_ppo_sdf(env, overrides):
 def _make_transformer(env, overrides):
     cfg = _mk_cfg(MAPPOCfg, env, overrides)
     cfg = dataclasses.replace(cfg, use_tp_net=False)
+    # HideAndSeek-family envs emit per-agent entity dicts ([E, n, k, d]);
+    # single-env token sets come from SDF/global-obs envs.
     return TransformerPPOPolicy(
-        cfg, n_agents=env.num_agents, action_dim=env.action_dim
+        cfg,
+        n_agents=env.num_agents,
+        action_dim=env.action_dim,
+        per_agent_obs=getattr(env, "provides_tp", False),
     )
 
 

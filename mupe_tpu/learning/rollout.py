@@ -204,7 +204,127 @@ def make_split_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False)
     return train_iter
 
 
-def init_carry(env, policy: MAPPOPolicy, key: jnp.ndarray) -> IterCarry:
+@struct.dataclass
+class RNNIterCarry:
+    """Iteration carry for recurrent policies (ppo_rnn): hidden states and
+    the is_init flag ride along with the env state."""
+
+    ts: Any
+    env_state: Any
+    obs: Any
+    actor_rnn: jnp.ndarray
+    critic_rnn: jnp.ndarray
+    is_init: jnp.ndarray
+    key: jnp.ndarray
+
+
+def make_rnn_train_iter(env, policy, deterministic: bool = False):
+    """Training iteration for `PPORNNPolicy` (reference ppo_rnn.py:177-414):
+    the rollout threads GRU hidden states, records the pre-step states so
+    BPTT chunks can resume from them, and flags episode starts (`is_init`)
+    so the masked GRU re-zeroes at boundaries."""
+    from .ppo.ppo_rnn import RNNRollout
+
+    cfg = policy.cfg
+
+    def rollout_step(carry, key):
+        ts, env_state, obs, actor_rnn, critic_rnn, is_init = carry
+        k_act, k_env = jax.random.split(key)
+        action, logp, value, new_a, new_c = policy.act(
+            ts, obs, actor_rnn, critic_rnn, is_init, k_act,
+            deterministic=deterministic,
+        )
+        env_state, tr = env.step(env_state, action, k_env)
+        collected = {
+            "obs": obs,
+            "action": action,
+            "logp": logp,
+            "value": value,
+            "reward": tr.reward,
+            "done": tr.done,
+            "stats": tr.stats,
+            "is_init": is_init,
+            "actor_rnn": actor_rnn,
+            "critic_rnn": critic_rnn,
+        }
+        # done [E, 1] → next-step is_init [E, n, 1]
+        next_init = jnp.broadcast_to(
+            tr.done[:, :, None], is_init.shape
+        ).astype(bool)
+        return (ts, env_state, tr.obs, new_a, new_c, next_init), collected
+
+    @jax.jit
+    def train_iter(carry: RNNIterCarry):
+        key, k_roll, k_train = jax.random.split(carry.key, 3)
+        step_keys = jax.random.split(k_roll, cfg.train_every)
+        (ts, env_state, last_obs, last_a, last_c, last_init), traj = jax.lax.scan(
+            rollout_step,
+            (carry.ts, carry.env_state, carry.obs, carry.actor_rnn,
+             carry.critic_rnn, carry.is_init),
+            step_keys,
+        )
+        batch = RNNRollout(
+            obs=traj["obs"],
+            action=traj["action"],
+            logp=traj["logp"],
+            value=traj["value"],
+            reward=traj["reward"],
+            done=traj["done"],
+            is_init=traj["is_init"],
+            actor_rnn=traj["actor_rnn"],
+            critic_rnn=traj["critic_rnn"],
+            last_obs=last_obs,
+            last_actor_rnn=last_a,
+            last_critic_rnn=last_c,
+            last_is_init=last_init,
+        )
+        ts, metrics = policy.train_op(ts, batch, k_train)
+        done = traj["done"]
+        n_done = jnp.sum(done)
+        ep_stats = {
+            k: jnp.sum(v * done) / jnp.clip(n_done, 1, None)
+            for k, v in traj["stats"].items()
+        }
+        ep_stats["episode_count"] = n_done
+        new_carry = RNNIterCarry(
+            ts=ts, env_state=env_state, obs=last_obs, actor_rnn=last_a,
+            critic_rnn=last_c, is_init=last_init, key=key,
+        )
+        return new_carry, metrics, ep_stats
+
+    return train_iter
+
+
+def init_rnn_carry(env, policy, key: jnp.ndarray, mesh=None) -> RNNIterCarry:
+    """Reset the env and build the recurrent carry (hidden states zeroed,
+    is_init=True everywhere so the masked GRU starts fresh)."""
+    if mesh is not None:
+        from ..parallel.mesh import replicated, sharded_init_jit
+
+        env_jit = lambda f: sharded_init_jit(f, mesh, env.num_envs)
+        rep_jit = lambda f: jax.jit(f, out_shardings=replicated(mesh))
+    else:
+        env_jit = rep_jit = jax.jit
+
+    k_env, k_policy, k_next = jax.random.split(key, 3)
+    env_state = env_jit(env.reset)(k_env)
+    obs = env_jit(env.observe)(env_state)
+    ts = rep_jit(policy.init)(k_policy, obs)
+    h0, is_init = env_jit(
+        lambda: (
+            policy.zero_state(obs.shape[:-1]),
+            jnp.ones(obs.shape[:-1] + (1,), bool),
+        )
+    )()
+    return RNNIterCarry(
+        ts=ts, env_state=env_state, obs=obs, actor_rnn=h0, critic_rnn=h0,
+        is_init=is_init, key=k_next,
+    )
+
+
+def init_carry(
+    env, policy: MAPPOPolicy, key: jnp.ndarray, mesh=None
+) -> IterCarry:
     """Reset the env and build the initial on-device carry.
 
     TP params are created first because TP predictions feed the observation
@@ -212,15 +332,28 @@ def init_carry(env, policy: MAPPOPolicy, key: jnp.ndarray) -> IterCarry:
     execution of the reset graph is pathologically slow on relayed TPU
     backends (one program per op), while the jitted versions compile in
     seconds and run once.
+
+    With `mesh`, every stage is jitted with explicit out_shardings (env
+    leaves on the env axis, learner state replicated) so the carry is born
+    as global arrays — the multi-host path (SURVEY §5.8) and the multi-chip
+    single-host path are the same code.
     """
-    k_env, k_tp, k_policy, k_next = jax.random.split(key, 4)
-    tp_params = jax.jit(policy.init_tp)(k_tp) if policy.tp_net else None
-    env_state = jax.jit(env.reset)(k_env)
-    if hasattr(env, "observe_full"):
-        obs, state = jax.jit(env.observe_full)(env_state, tp_params)
+    if mesh is not None:
+        from ..parallel.mesh import replicated, sharded_init_jit
+
+        env_jit = lambda f: sharded_init_jit(f, mesh, env.num_envs)
+        rep_jit = lambda f: jax.jit(f, out_shardings=replicated(mesh))
     else:
-        obs, state = jax.jit(env.observe)(env_state), None
-    ts = jax.jit(
+        env_jit = rep_jit = jax.jit
+
+    k_env, k_tp, k_policy, k_next = jax.random.split(key, 4)
+    tp_params = rep_jit(policy.init_tp)(k_tp) if policy.tp_net else None
+    env_state = env_jit(env.reset)(k_env)
+    if hasattr(env, "observe_full"):
+        obs, state = env_jit(env.observe_full)(env_state, tp_params)
+    else:
+        obs, state = env_jit(env.observe)(env_state), None
+    ts = rep_jit(
         lambda k, o, s, tp: policy.init(k, o, state_example=s, tp_params=tp)
     )(k_policy, obs, state, tp_params)
     return IterCarry(ts=ts, env_state=env_state, obs=obs, state=state, key=k_next)

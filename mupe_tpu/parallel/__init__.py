@@ -7,4 +7,5 @@ from .mesh import (
     replicated,
     shard_carry,
     shard_env_tree,
+    sharded_init_jit,
 )

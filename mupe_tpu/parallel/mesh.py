@@ -36,11 +36,19 @@ def init_distributed(
     coordinator configured) is a no-op.  Returns True iff the distributed
     runtime was (or already is) initialized.
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist
+
+    # NB: probe the distributed client directly — jax.process_count()
+    # initializes the XLA backend, after which initialize() is illegal
+    if _dist.global_state.client is not None:
         return True  # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return False
     jax.distributed.initialize(
@@ -87,6 +95,28 @@ def env_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(ENV_AXIS))
 
 
+def sharded_init_jit(fn, mesh: Mesh, num_envs: int):
+    """jit `fn` with `out_shardings` that place leaves with a leading env
+    axis on the mesh and replicate everything else.
+
+    This is how initial state is created on multi-host: every process runs
+    the same program with the same (replicated) inputs and the outputs are
+    born as *global* arrays — no host-local → global assembly step, no
+    cross-host `device_put`.  Works identically for single-host multi-chip
+    meshes."""
+
+    def call(*args):
+        shapes = jax.eval_shape(fn, *args)
+        es, rep = env_sharding(mesh), replicated(mesh)
+        out_sh = jax.tree_util.tree_map(
+            lambda s: es if (s.ndim >= 1 and s.shape[0] == num_envs) else rep,
+            shapes,
+        )
+        return jax.jit(fn, out_shardings=out_sh)(*args)
+
+    return call
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -106,16 +136,17 @@ def shard_env_tree(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_carry(carry, mesh: Mesh):
-    """Shard an `IterCarry`: env state/obs by env axis, learner state
-    replicated."""
-    return carry.replace(
+    """Shard an iteration carry (`IterCarry` or `RNNIterCarry`): env
+    state/obs/hidden-state by env axis, learner state replicated."""
+    updates = dict(
         ts=jax.device_put(carry.ts, replicated(mesh)),
         env_state=shard_env_tree(carry.env_state, mesh),
         obs=shard_env_tree(carry.obs, mesh),
-        state=(
-            shard_env_tree(carry.state, mesh)
-            if carry.state is not None
-            else None
-        ),
         key=jax.device_put(carry.key, replicated(mesh)),
     )
+    if hasattr(carry, "state") and carry.state is not None:
+        updates["state"] = shard_env_tree(carry.state, mesh)
+    for f in ("actor_rnn", "critic_rnn", "is_init"):
+        if hasattr(carry, f):
+            updates[f] = shard_env_tree(getattr(carry, f), mesh)
+    return carry.replace(**updates)

@@ -31,6 +31,13 @@ def _coerce(value: str, target_type) -> Any:
         return tuple(json.loads(value))
     if value.lower() in ("null", "none"):
         return None
+    # Optional[Tuple[...]] fields default to None, so the declared type is
+    # unavailable — sniff bracketed literals (env.dr_mass_scale='[0.8,1.2]')
+    if value[:1] == "[":
+        try:
+            return tuple(json.loads(value))
+        except json.JSONDecodeError:
+            pass
     return value
 
 
@@ -95,7 +102,8 @@ class RunCfg:
     log_interval: int = 10
     run_dir: str = "runs"
     run_name: Optional[str] = None
-    model_dir: Optional[str] = None  # resume checkpoint
+    model_dir: Optional[str] = None   # warm-start: learner state only
+    resume_dir: Optional[str] = None  # exact resume: full carry (ckpt/full)
     wandb_mode: str = "disabled"     # disabled | online | offline
     wandb_project: str = "mupe_tpu"
     wandb_entity: Optional[str] = None
@@ -103,3 +111,6 @@ class RunCfg:
     # empty disables rendering
     video: str = ""
     video_env_index: int = 0
+    # observability / failure detection (SURVEY §5.1/§5.3)
+    guard_nan: bool = False   # skip non-finite updates (1 sync/iter)
+    profile_dir: str = ""     # jax.profiler trace of iters 1-3 → this dir

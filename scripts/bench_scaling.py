@@ -44,9 +44,13 @@ def bench(n_dev: int) -> float:
         n_agents=env.num_agents, action_dim=4, obs_is_dict=True,
         tp_input_dim=env.cfg.tp_input_dim,
     )
-    carry = init_carry(env, policy, jax.random.PRNGKey(0))
     mesh = make_mesh(jax.devices()[:n_dev])
-    carry = shard_carry(carry, mesh)
+    carry = init_carry(
+        env, policy, jax.random.PRNGKey(0),
+        mesh=mesh if n_dev > 1 else None,
+    )
+    if n_dev == 1:
+        mesh = None
     train_iter = make_split_train_iter(env, policy)
     for _ in range(2):
         carry, metrics, _ = train_iter(carry)
@@ -59,20 +63,35 @@ def bench(n_dev: int) -> float:
 
 
 def main():
+    # multi-host: join the runtime when a coordinator is configured
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env
+    # vars); devices() is then the global list
+    from mupe_tpu.parallel import init_distributed
+
+    init_distributed()
     n = len(jax.devices())
-    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n]
+    if jax.process_count() > 1:
+        # sub-meshes would exclude some process's devices; bench the full
+        # global mesh only
+        sizes = [n]
+    else:
+        sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n]
     base = None
     for s in sizes:
         sps = bench(s)
-        base = sps if base is None else base
-        eff = sps / (base * s)
-        print(json.dumps({
+        if s == 1:
+            base = sps
+        row = {
             "metric": "scaling_env_steps_per_s",
             "devices": s,
+            "processes": jax.process_count(),
             "value": round(sps, 1),
             "unit": "env-steps/s",
-            "efficiency": round(eff, 3),
-        }), flush=True)
+        }
+        if base is not None:
+            row["efficiency"] = round(sps / (base * s), 3)
+        if jax.process_index() == 0:
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
