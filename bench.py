@@ -18,11 +18,15 @@ import time
 # serialization stalls compilation on the axon remote-compile backend.
 
 import jax
+import numpy as np
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 TRAIN_EVERY = int(os.environ.get("BENCH_TRAIN_EVERY", 64))
 WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
+# Escape hatch: BENCH_FUSED=0 runs the pure-XLA (flax) update so a Pallas
+# kernel regression can never zero out the round's headline metric.
+FUSED = os.environ.get("BENCH_FUSED", "1") != "0"
 
 
 def main():
@@ -37,7 +41,9 @@ def main():
 
     env_cfg = HideAndSeekCfg(num_envs=NUM_ENVS, max_episode_length=800)
     env = HideAndSeek(env_cfg)
-    algo_cfg = MAPPOCfg(train_every=TRAIN_EVERY, use_tp_net=True)
+    algo_cfg = MAPPOCfg(
+        train_every=TRAIN_EVERY, use_tp_net=True, use_fused_encoder=FUSED
+    )
     policy = MAPPOPolicy(
         algo_cfg,
         n_agents=env.num_agents,
@@ -51,14 +57,17 @@ def main():
         carry = shard_carry(carry, mesh)
     train_iter = make_split_train_iter(env, policy)
 
+    # Explicit host reads, NOT jax.block_until_ready: on the axon relay
+    # backend block_until_ready returns immediately (relay buffers resolve
+    # lazily); only a device→host transfer provably drains the queue.
     for _ in range(WARMUP):
         carry, metrics, _ = train_iter(carry)
-    jax.block_until_ready(metrics["policy_loss"])
+    float(np.asarray(metrics["policy_loss"]))
 
     t0 = time.time()
     for _ in range(ITERS):
         carry, metrics, _ = train_iter(carry)
-    jax.block_until_ready(metrics["policy_loss"])
+    float(np.asarray(metrics["policy_loss"]))
     dt = time.time() - t0
 
     steps_per_s = NUM_ENVS * TRAIN_EVERY * ITERS / dt

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..ops.fps import farthest_point_sampling
+from ..ops.fps import farthest_point_sampling_auto as farthest_point_sampling
 from .placement import (
     Grid,
     continuous_to_grid,

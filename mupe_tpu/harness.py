@@ -56,6 +56,21 @@ def build(
     return env, policy, env_cfg, policy.cfg
 
 
+def _resolve_run_name(run_cfg: "RunCfg") -> str:
+    """Run name agreed across ranks: rank 0's timestamp, broadcast so every
+    process writes into the same run directory (orbax requires it)."""
+    if run_cfg.run_name is not None:
+        return run_cfg.run_name
+    stamp = time.time()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        stamp = int(
+            multihost_utils.broadcast_one_to_all(jax.numpy.asarray(int(stamp)))
+        )
+    return time.strftime("%Y%m%d-%H%M%S", time.localtime(stamp))
+
+
 def train(
     argv: Sequence[str],
     default_task: str = "HideAndSeek",
@@ -86,18 +101,7 @@ def train(
     # (orbax coordinates, primary host writes), so the run dir must agree
     # across ranks — broadcast rank 0's timestamp
     is_main = jax.process_index() == 0
-    run_name = run_cfg.run_name
-    if run_name is None:
-        stamp = time.time()
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            stamp = int(
-                multihost_utils.broadcast_one_to_all(
-                    jax.numpy.asarray(int(stamp))
-                )
-            )
-        run_name = time.strftime("%Y%m%d-%H%M%S", time.localtime(stamp))
+    run_name = _resolve_run_name(run_cfg)
     ckpt_dir = Path(run_cfg.run_dir) / run_name / "checkpoints"
     logger = RunLogger(
         run_cfg.run_dir,
@@ -143,10 +147,11 @@ def train(
         train_iter = guard_train_iter(train_iter)
 
     # in-training evaluation (reference scripts/train.py:207-264)
-    do_eval = run_cfg.eval_interval > 0 and not recurrent
+    do_eval = run_cfg.eval_interval > 0
     if do_eval:
         eval_prog = _make_eval_prog(
-            env, policy, collect_frames=bool(run_cfg.video)
+            env, policy, collect_frames=bool(run_cfg.video),
+            recurrent=recurrent,
         )
 
     frames_per_iter = env.num_envs * algo_cfg.train_every
@@ -225,36 +230,52 @@ def train(
     return last_metrics
 
 
-def _make_eval_prog(env, policy, collect_frames: bool = False):
+def _make_eval_prog(
+    env, policy, collect_frames: bool = False, recurrent: bool = False
+):
     """One-episode deterministic evaluation as a single jitted program
     (reference scripts/train.py:207-264 `evaluate`): fresh reset, greedy
-    policy, done-masked episode stats; optionally per-step render frames."""
+    policy, done-masked episode stats; optionally per-step render frames.
+    Recurrent policies thread zero-initialized GRU hidden states through
+    the episode (reference ppo_rnn eval semantics)."""
     provides_tp = getattr(env, "provides_tp", False)
     render_keys = ("target_pos", "cylinders", "capture", "tp_pred")
     length = env.cfg.max_episode_length
+    import jax.numpy as jnp
 
     def eval_step(c, _):
-        ts, env_state, obs, state, key = c
+        if recurrent:
+            ts, env_state, obs, a_rnn, c_rnn, is_init, key = c
+        else:
+            ts, env_state, obs, state, key = c
         key, k_act, k_env = jax.random.split(key, 3)
-        action, _, _ = policy.act(
-            ts, obs, k_act, deterministic=True, state=state
-        )
+        if recurrent:
+            action, _, _, new_a, new_c = policy.act(
+                ts, obs, a_rnn, c_rnn, is_init, k_act, deterministic=True
+            )
+        else:
+            action, _, _ = policy.act(
+                ts, obs, k_act, deterministic=True, state=state
+            )
         if provides_tp:
             env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
         else:
             env_state, tr = env.step(env_state, action, k_env)
-        nxt = tr.info.get("state") if isinstance(tr.info, dict) else None
         out = (tr.done, tr.stats)
         if collect_frames:
             frame = {"drone_pos": tr.info["drone_state"][..., :3]}
             frame.update({k: tr.info[k] for k in render_keys if k in tr.info})
             out = out + (frame,)
+        if recurrent:
+            next_init = jnp.broadcast_to(
+                tr.done[:, :, None], is_init.shape
+            ).astype(bool)
+            return (ts, env_state, tr.obs, new_a, new_c, next_init, key), out
+        nxt = tr.info.get("state") if isinstance(tr.info, dict) else None
         return (ts, env_state, tr.obs, nxt, key), out
 
     @jax.jit
     def prog(ts, key):
-        import jax.numpy as jnp
-
         k_env, k_roll = jax.random.split(key)
         env_state = env.reset(k_env)
         tp = getattr(ts, "tp_params", None)
@@ -262,9 +283,13 @@ def _make_eval_prog(env, policy, collect_frames: bool = False):
             obs, state = env.observe_full(env_state, tp)
         else:
             obs, state = env.observe(env_state), None
-        _, out = jax.lax.scan(
-            eval_step, (ts, env_state, obs, state, k_roll), None, length=length
-        )
+        if recurrent:
+            h0 = policy.zero_state(obs.shape[:-1])
+            is_init = jnp.ones(obs.shape[:-1] + (1,), bool)
+            init = (ts, env_state, obs, h0, h0, is_init, k_roll)
+        else:
+            init = (ts, env_state, obs, state, k_roll)
+        _, out = jax.lax.scan(eval_step, init, None, length=length)
         done, stats = out[0], out[1]
         n_done = jnp.sum(done)
         ep_stats = {
@@ -311,14 +336,19 @@ def train_rma(run_cfg: RunCfg, sections: Dict[str, Dict[str, Any]]) -> Dict[str,
     )
     from .learning.ppo.ppo_adapt import PPOAdaptivePolicy
 
+    # same multi-host treatment as `train`: rank-0-only metric sinks, run
+    # name broadcast so all ranks agree on the orbax checkpoint directory
+    is_main = jax.process_index() == 0
+    run_name = _resolve_run_name(run_cfg)
     logger = RunLogger(
         run_cfg.run_dir,
-        run_cfg.run_name,
+        run_name,
         wandb_mode=run_cfg.wandb_mode,
         wandb_project=run_cfg.wandb_project,
         wandb_entity=run_cfg.wandb_entity,
         config=config_dict(run_cfg, env_cfg, algo_cfg),
-    )
+    ) if is_main else None
+    ckpt_dir = Path(run_cfg.run_dir) / run_name / "checkpoints"
     frames_per_iter = env.num_envs * algo_cfg.train_every
     if run_cfg.max_iters > 0:
         total_iters = run_cfg.max_iters
@@ -354,12 +384,23 @@ def train_rma(run_cfg: RunCfg, sections: Dict[str, Dict[str, Any]]) -> Dict[str,
                     "env_frames": env_frames,
                     "rma_phase": {"encoder": 1, "adaptation": 2, "finetune": 3}[phase],
                 }
-                logger.log(row, step=env_frames)
+                if logger is not None:
+                    logger.log(row, step=env_frames)
                 last = {k: float(np.asarray(v)) for k, v in row.items()}
         return carry
 
     # ---------------- phase 1: encoder ----------------
     carry = init_carry(env, policy1, key)
+    if run_cfg.model_dir:
+        # warm start the phase-1 learner (same semantics as `train`)
+        carry = carry.replace(
+            ts=load_checkpoint(run_cfg.model_dir, target=carry.ts)
+        )
+    if run_cfg.resume_dir:
+        # full-carry resume of the phase-1 carry; RMA phases are chained
+        # in-process, so resume restarts at the phase-1 boundary with the
+        # restored learner/env/PRNG state
+        carry = load_checkpoint(run_cfg.resume_dir, target=carry)
     carry = run_phase(
         policy1, carry, n1, "encoder", make_split_train_iter(env, policy1)
     )
@@ -447,7 +488,8 @@ def train_rma(run_cfg: RunCfg, sections: Dict[str, Dict[str, Any]]) -> Dict[str,
                 "env_frames": env_frames,
                 "rma_phase": 2,
             }
-            logger.log(row, step=env_frames)
+            if logger is not None:
+                logger.log(row, step=env_frames)
             last = {k: float(np.asarray(v)) for k, v in row.items()}
 
     # ---------------- phase 3: finetune ----------------
@@ -464,8 +506,10 @@ def train_rma(run_cfg: RunCfg, sections: Dict[str, Dict[str, Any]]) -> Dict[str,
         policy3, carry, n3, "finetune", make_split_train_iter(env, policy3)
     )
 
-    save_checkpoint(logger.dir / "checkpoints", total_iters, carry.ts)
-    logger.close()
+    save_checkpoint(ckpt_dir, total_iters, carry.ts)
+    save_checkpoint(ckpt_dir / "full", total_iters, carry)
+    if logger is not None:
+        logger.close()
     return last
 
 

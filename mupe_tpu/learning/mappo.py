@@ -292,6 +292,34 @@ class MAPPOPolicy:
         out = fused_encoder_head(spec, leaves, x)
         return out.reshape(lead + (head_dim,))
 
+    def _fused_pair_apply(self, actor_params, critic_params, obs):
+        """Actor mean + critic value over the same rows via ONE Pallas kernel
+        per direction (ops/fused_encoder.py pair path) — halves the kernel
+        launches in the PPO minibatch loop and lets Mosaic overlap the two
+        networks' independent instruction chains."""
+        from ..ops.fused_encoder import (
+            EncoderSpec,
+            extract_leaves,
+            fused_pair_encoder_head,
+            pack_obs,
+        )
+        from .modules.networks import entity_group_order
+
+        names = entity_group_order(obs.keys())
+        groups = tuple((obs[n].shape[-2], obs[n].shape[-1]) for n in names)
+        spec_a = EncoderSpec(groups=groups, head_dim=self.action_dim)
+        spec_c = EncoderSpec(groups=groups, head_dim=1)
+        leaves_a = extract_leaves(spec_a, actor_params, names)
+        leaves_c = extract_leaves(spec_c, critic_params, names)
+        x, lead = pack_obs(spec_a, obs, names)
+        out_a, out_c = fused_pair_encoder_head(
+            spec_a, spec_c, leaves_a, leaves_c, x
+        )
+        return (
+            out_a.reshape(lead + (self.action_dim,)),
+            out_c.reshape(lead + (1,)),
+        )
+
     def _actor_dist(self, actor_params, obs, fused: bool = False) -> Gaussian:
         # The Pallas path wins for the update's large fwd+bwd minibatches;
         # the per-step rollout batches are small enough that XLA's fused
@@ -411,8 +439,14 @@ class MAPPOPolicy:
             perm = jax.random.permutation(ek, b)[: mb_size * cfg.num_minibatches]
             mb_idx = perm.reshape(cfg.num_minibatches, mb_size)
 
+            use_joint = (
+                self._fused_ok(batch.obs) and cfg.critic_input == "obs"
+            )
+
             def mb_body(ts, idx):
                 mb = unpack(packed[idx])
+                if use_joint:
+                    return self._update_joint(ts, mb)
                 ts, info_a = self._update_actor(ts, mb)
                 ts, info_c = self._update_critic(ts, mb)
                 return ts, {**info_a, **info_c}
@@ -465,6 +499,81 @@ class MAPPOPolicy:
                 "actor_grad_norm": grad_norm,
                 "entropy": -entropy_loss,
                 "ESS": ess,
+            },
+        )
+
+    # ---------------- joint actor+critic update (fused pair kernel)
+    def _update_joint(self, ts: MAPPOState, mb) -> Tuple[MAPPOState, Dict]:
+        """One value_and_grad over (actor, critic) with a shared pair
+        kernel.  The losses are additive and touch disjoint parameters, so
+        the gradients are identical to the sequential `_update_actor` +
+        `_update_critic` path (which the reference runs, mappo.py:446-461);
+        fusing them halves the encoder kernel launches per minibatch."""
+        cfg = self.cfg
+
+        def huber(pred, target):
+            return jnp.mean(optax.huber_loss(pred, target, delta=cfg.huber_delta))
+
+        def loss_fn(params):
+            actor_params, critic_params = params
+            mean, values = self._fused_pair_apply(
+                actor_params, critic_params, mb["obs"]
+            )
+            log_std = actor_params["params"]["DiagGaussianHead_0"]["log_std"]
+            dist = Gaussian(
+                mean=mean, log_std=jnp.broadcast_to(log_std, mean.shape)
+            )
+            logp_new = dist.log_prob(mb["action"])[..., None]
+            entropy = dist.entropy()[..., None]
+            ratio = jnp.exp(logp_new - mb["logp"])
+            adv = mb["advantages"]
+            surr1 = ratio * adv
+            surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv
+            policy_loss = -jnp.mean(jnp.minimum(surr1, surr2) * self.action_dim)
+            entropy_loss = -jnp.mean(entropy)
+            b_values = mb["value"]
+            b_returns = mb["returns"]
+            clipped = b_values + jnp.clip(
+                values - b_values, -cfg.clip_param, cfg.clip_param
+            )
+            value_loss = jnp.maximum(
+                huber(values, b_returns), huber(clipped, b_returns)
+            )
+            explained_var = 1.0 - jnp.mean(
+                jnp.square(values - b_returns)
+            ) / (jnp.var(b_returns) + 1e-8)
+            total = policy_loss + entropy_loss * cfg.entropy_coef + value_loss
+            return total, (
+                policy_loss, entropy_loss, ratio, value_loss, explained_var
+            )
+
+        (_, aux), (ga, gc) = jax.value_and_grad(loss_fn, has_aux=True)(
+            (ts.actor_params, ts.critic_params)
+        )
+        policy_loss, entropy_loss, ratio, value_loss, explained_var = aux
+        upd_a, new_opt_a = self.actor_tx.update(ga, ts.actor_opt, ts.actor_params)
+        new_actor = optax.apply_updates(ts.actor_params, upd_a)
+        upd_c, new_opt_c = self.critic_tx.update(
+            gc, ts.critic_opt, ts.critic_params
+        )
+        new_critic = optax.apply_updates(ts.critic_params, upd_c)
+        w = ratio.reshape(-1)
+        ess = jnp.square(jnp.sum(w)) / (jnp.sum(jnp.square(w)) * w.shape[0])
+        return (
+            ts.replace(
+                actor_params=new_actor,
+                actor_opt=new_opt_a,
+                critic_params=new_critic,
+                critic_opt=new_opt_c,
+            ),
+            {
+                "policy_loss": policy_loss,
+                "actor_grad_norm": optax.global_norm(ga),
+                "entropy": -entropy_loss,
+                "ESS": ess,
+                "value_loss": value_loss,
+                "critic_grad_norm": optax.global_norm(gc),
+                "explained_var": explained_var,
             },
         )
 

@@ -12,12 +12,33 @@ Pallas kernel per direction:
   shapes), then backpropagates, accumulating parameter gradients in VMEM
   output blocks across sequential grid steps (TPU grids are sequential per
   core) and writing them once at the end.
+- `pair`: the actor and critic updates are mathematically independent but
+  share the same minibatch rows, so one kernel per direction computes BOTH
+  networks — half the launches, one x load, and two independent instruction
+  chains the Mosaic scheduler can overlap (VPU softmax/LN of one network
+  against MXU matmuls of the other).
 
-The kernels are exposed through `fused_encoder_head`, a `jax.custom_vjp`
-function over a canonical tuple of parameter leaves extracted from the flax
-param tree (`extract_leaves` / `rebuild_grads`), so `jax.grad` of any loss
-through it works unchanged.  `reference_apply` is the same math in plain
-jnp — the CPU fallback and the golden model for kernel tests.
+Mosaic layout rules (learned the hard way in round 2): intermediates whose
+*sublane* dimension is the token count (e.g. `[6, 512]` attention scores)
+hit "Invalid relayout … vector<6x512xf32>" — a 6-row sublane dim can be
+neither tiled nor replicated.  The attention here therefore never builds a
+token-indexed array at all: softmax over the 6 tokens is unrolled into
+per-token `[T, 1]` columns (max/exp/sum chains), which lower to plain lane
+broadcasts.  The token-stacked `[n_tok*T, 128]` form is kept only where it
+wins — LayerNorm and the k/v projections ride one big matmul instead of
+n_tok small ones.
+
+Stacked residuals are stored bfloat16: every consumer is a bf16 matmul
+anyway (`_mm` casts), and the flax modules run their trunks in bf16 too, so
+this matches the reference numerics while halving VMEM (which is what lets
+the pair kernel fit in ~16 MB/core).
+
+The kernels are exposed through `fused_encoder_head` (single network) and
+`fused_pair_encoder_head` (actor+critic), `jax.custom_vjp` functions over a
+canonical tuple of parameter leaves extracted from the flax param tree
+(`extract_leaves` / `rebuild_grads`), so `jax.grad` of any loss through
+them works unchanged.  `reference_apply` is the same math in plain jnp —
+the CPU fallback and the golden model for kernel tests.
 
 Numerics match the flax modules (mupe_tpu/learning/modules/networks.py):
 matmuls in bfloat16 with float32 accumulation, LayerNorm statistics in
@@ -29,6 +50,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import jax
@@ -38,6 +60,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LN_EPS = 1e-6  # flax LayerNorm default
+
+# Row-tile size for the sample grid.  512 fits the pair kernel's working set
+# in VMEM with bf16 residuals; override for on-chip experiments.
+_DEFAULT_TILE = int(os.environ.get("MUPE_FUSED_TILE", "512"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,7 +77,7 @@ class EncoderSpec:
     head_dim: int
     embed_dim: int = 128
     ff_dim: int = 128
-    tile: int = 512
+    tile: int = _DEFAULT_TILE
 
     @property
     def n_tokens(self) -> int:
@@ -155,6 +181,7 @@ def pack_obs(spec: EncoderSpec, obs: Dict[str, jnp.ndarray], group_names):
 
 # ---------------------------------------------------------------- math core
 def _ln_f32(x, scale, bias):
+    x = x.astype(jnp.float32)
     m = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(m)
     inv = jax.lax.rsqrt(var + _LN_EPS)
@@ -196,6 +223,11 @@ def _dgelu_tanh(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
 
 
+def _rows(a, t: int, t_rows: int):
+    """Token t's row block of a token-stacked [n_tok*T, D] array."""
+    return a[t * t_rows : (t + 1) * t_rows]
+
+
 def _forward_core(spec: EncoderSpec, x, leaves):
     """Straight-line fwd shared by kernel and reference.
 
@@ -203,12 +235,15 @@ def _forward_core(spec: EncoderSpec, x, leaves):
     x: [T, obs_dim] f32.
 
     Token batching: after the per-token embeds (unavoidably separate —
-    different input widths), all tokens are stacked along the row axis
+    different input widths), all tokens are stacked along the ROW axis
     ([n_tok·T, 128], token-major) so LN0 and the k/v projections are ONE
-    op each instead of n_tok small ones.  At these shapes the kernel is
-    latency-bound on its chain of small sequential matmuls, not
-    FLOP-bound, so fewer/larger matmuls is the main perf lever (~6× M for
-    k/v; measured ~1.4× whole-update speedup vs the per-token version).
+    matmul each instead of n_tok small ones (the kernel is latency-bound
+    on its chain of small sequential matmuls, so fewer/larger matmuls is
+    the main perf lever).  The attention softmax over tokens is then
+    unrolled into per-token [T, 1] columns — a token-indexed array like
+    [n_tok, T] has a non-8-multiple sublane dim that Mosaic cannot
+    relayout (round-2 failure mode), while [T, 1] columns are plain lane
+    broadcasts.
     """
     it = iter(leaves)
     g = len(spec.groups)
@@ -228,24 +263,37 @@ def _forward_core(spec: EncoderSpec, x, leaves):
     for (k, d), (wg, bg) in zip(spec.groups, gw):
         for _ in range(k):
             xt = x[:, off : off + d]
-            es.append(_mm(xt, wg) + bg)
+            es.append((_mm(xt, wg) + bg).astype(jnp.bfloat16))
             xs.append(xt)
             off += d
     e_all = jnp.concatenate(es, axis=0)           # [n_tok·T, 128] token-major
-    h_all, n0_all, inv0_all = _ln_f32(e_all, g0, b0)
-    h0 = h_all[:t_rows]
-    q = _mm(h0, wq) + bq                          # [T, 128]
-    ks_all = _mm(h_all, wk) + bk                  # [n_tok·T, 128]
-    vs_all = _mm(h_all, wv) + bv
+    h_f32, n0_all, inv0_all = _ln_f32(e_all, g0, b0)
+    h_all = h_f32.astype(jnp.bfloat16)
+    n0_all = n0_all.astype(jnp.bfloat16)
+    h0 = h_f32[:t_rows]
+    q = _mm(h0, wq) + bq                          # [T, 128] f32
+    ks_all = (_mm(h_all, wk) + bk).astype(jnp.bfloat16)
+    vs_all = (_mm(h_all, wv) + bv).astype(jnp.bfloat16)
     scale = 1.0 / math.sqrt(spec.embed_dim)
-    k3 = ks_all.reshape(n_tok, t_rows, spec.embed_dim)
-    v3 = vs_all.reshape(n_tok, t_rows, spec.embed_dim)
-    s = jnp.sum(q[None] * k3, axis=-1) * scale    # [n_tok, T]
-    smax = jnp.max(s, axis=0, keepdims=True)
-    e_s = jnp.exp(s - smax)
-    denom = jnp.sum(e_s, axis=0, keepdims=True)
-    at = e_s / denom                              # [n_tok, T]
-    att = jnp.sum(at[..., None] * v3, axis=0)     # [T, 128]
+    # -------- per-column softmax over tokens (all [T, 1] / [T, 128])
+    s_cols = []
+    for t in range(n_tok):
+        kt = _rows(ks_all, t, t_rows).astype(jnp.float32)
+        s_cols.append(
+            jnp.sum(q * kt, axis=-1, keepdims=True) * scale
+        )
+    smax = s_cols[0]
+    for t in range(1, n_tok):
+        smax = jnp.maximum(smax, s_cols[t])
+    e_cols = [jnp.exp(s - smax) for s in s_cols]
+    denom = e_cols[0]
+    for t in range(1, n_tok):
+        denom = denom + e_cols[t]
+    recip = 1.0 / denom
+    a_cols = [e * recip for e in e_cols]          # attention weights [T, 1]
+    att = a_cols[0] * _rows(vs_all, 0, t_rows).astype(jnp.float32)
+    for t in range(1, n_tok):
+        att = att + a_cols[t] * _rows(vs_all, t, t_rows).astype(jnp.float32)
     o = _mm(att, wo) + bo
     r1 = h0 + o
     y1, n1, inv1 = _ln_f32(r1, g1, b1)
@@ -257,7 +305,8 @@ def _forward_core(spec: EncoderSpec, x, leaves):
     out = _mm(y2, wh) + bh
     res = dict(
         xs=xs, h_all=h_all, n0_all=n0_all, inv0_all=inv0_all, q=q,
-        k3=k3, v3=v3, at=at, att=att, n1=n1, inv1=inv1, y1=y1, pre1=pre1,
+        ks_all=ks_all, vs_all=vs_all, a_cols=a_cols, att=att,
+        n1=n1, inv1=inv1, y1=y1, pre1=pre1,
         f=f, n2=n2, inv2=inv2, y2=y2,
     )
     return out, res
@@ -265,6 +314,7 @@ def _forward_core(spec: EncoderSpec, x, leaves):
 
 def _ln_bwd(dy, n, inv, scale):
     """Given d(out) of LN out = n*scale+bias, return (dx, dscale, dbias)."""
+    n = n.astype(jnp.float32)
     dscale = jnp.sum(dy * n, axis=0)
     dbias = jnp.sum(dy, axis=0)
     dn = dy * scale
@@ -311,24 +361,35 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
     dwo = _mm_tn(res["att"], do)
     dbo = jnp.sum(do, axis=0)
     datt = _mm(do, wo.T)
-    # attention bwd (token-stacked; see _forward_core)
-    at, k3, v3, q = res["at"], res["k3"], res["v3"], res["q"]
-    das = jnp.sum(datt[None] * v3, axis=-1)        # [n_tok, T]
-    dv3 = at[..., None] * datt[None]               # [n_tok, T, 128]
-    wsum = jnp.sum(at * das, axis=0, keepdims=True)
-    dss = at * (das - wsum)                        # [n_tok, T]
-    dq = jnp.sum(dss[..., None] * k3, axis=0) * scale
-    dk3 = dss[..., None] * q[None] * scale         # [n_tok, T, 128]
+    # attention bwd — per-token [T, 1] columns (see _forward_core layout note)
+    a_cols, q = res["a_cols"], res["q"]
+    ks_all, vs_all = res["ks_all"], res["vs_all"]
+    das_cols = []
+    for t in range(n_tok):
+        vt = _rows(vs_all, t, t_rows).astype(jnp.float32)
+        das_cols.append(jnp.sum(datt * vt, axis=-1, keepdims=True))
+    wsum = a_cols[0] * das_cols[0]
+    for t in range(1, n_tok):
+        wsum = wsum + a_cols[t] * das_cols[t]
+    dss_cols = [a * (das - wsum) for a, das in zip(a_cols, das_cols)]
+    dq = dss_cols[0] * _rows(ks_all, 0, t_rows).astype(jnp.float32)
+    for t in range(1, n_tok):
+        dq = dq + dss_cols[t] * _rows(ks_all, t, t_rows).astype(jnp.float32)
+    dq = dq * scale
+    dk_blocks = [
+        (ds * q * scale).astype(jnp.bfloat16) for ds in dss_cols
+    ]
+    dv_blocks = [(a * datt).astype(jnp.bfloat16) for a in a_cols]
     # projections — one batched matmul over the stacked token axis
     h_all = res["h_all"]
-    dks_all = dk3.reshape(n_tok * t_rows, spec.embed_dim)
-    dvs_all = dv3.reshape(n_tok * t_rows, spec.embed_dim)
+    dks_all = jnp.concatenate(dk_blocks, axis=0)   # [n_tok·T, 128] bf16
+    dvs_all = jnp.concatenate(dv_blocks, axis=0)
     dwq = _mm_tn(h_all[:t_rows], dq)
     dbq = jnp.sum(dq, axis=0)
     dwk = _mm_tn(h_all, dks_all)
-    dbk = jnp.sum(dks_all, axis=0)
+    dbk = jnp.sum(dks_all.astype(jnp.float32), axis=0)
     dwv = _mm_tn(h_all, dvs_all)
-    dbv = jnp.sum(dvs_all, axis=0)
+    dbv = jnp.sum(dvs_all.astype(jnp.float32), axis=0)
     dh_all = _mm(dks_all, wk.T) + _mm(dvs_all, wv.T)
     dh_tok0 = dh_all[:t_rows] + dh0 + _mm(dq, wq.T)
     dh_all = jnp.concatenate([dh_tok0, dh_all[t_rows:]], axis=0)
@@ -342,7 +403,7 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
         dwg = jnp.zeros(wg.shape, jnp.float32)
         dbg = jnp.zeros(bg.shape, jnp.float32)
         for _ in range(k):
-            de = de_all[t * t_rows : (t + 1) * t_rows]
+            de = _rows(de_all, t, t_rows)
             dwg = dwg + _mm_tn(res["xs"][t], de)
             dbg = dbg + jnp.sum(de, axis=0)
             t += 1
@@ -390,6 +451,46 @@ def _bwd_kernel(spec: EncoderSpec, *refs):
         gr[:] = gr[:] + g_.reshape(gr.shape)
 
 
+def _pair_fwd_kernel(spec_a: EncoderSpec, spec_b: EncoderSpec, *refs):
+    na, nb = spec_a.n_leaves, spec_b.n_leaves
+    x_ref = refs[0]
+    la = [r[:] for r in refs[1 : 1 + na]]
+    lb = [r[:] for r in refs[1 + na : 1 + na + nb]]
+    out_a_ref, out_b_ref = refs[1 + na + nb], refs[2 + na + nb]
+    x = x_ref[:].astype(jnp.float32)
+    out_a, _ = _forward_core(spec_a, x, la)
+    out_b, _ = _forward_core(spec_b, x, lb)
+    out_a_ref[:] = out_a
+    out_b_ref[:] = out_b
+
+
+def _pair_bwd_kernel(spec_a: EncoderSpec, spec_b: EncoderSpec, *refs):
+    na, nb = spec_a.n_leaves, spec_b.n_leaves
+    x_ref, dout_a_ref, dout_b_ref = refs[0], refs[1], refs[2]
+    la = [r[:] for r in refs[3 : 3 + na]]
+    lb = [r[:] for r in refs[3 + na : 3 + na + nb]]
+    grad_refs = refs[3 + na + nb :]
+    x = x_ref[:].astype(jnp.float32)
+    _, res_a = _forward_core(spec_a, x, la)
+    grads_a = _backward_core(
+        spec_a, la, res_a, dout_a_ref[:].astype(jnp.float32)
+    )
+    _, res_b = _forward_core(spec_b, x, lb)
+    grads_b = _backward_core(
+        spec_b, lb, res_b, dout_b_ref[:].astype(jnp.float32)
+    )
+    grads = list(grads_a) + list(grads_b)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for gr in grad_refs:
+            gr[:] = jnp.zeros(gr.shape, jnp.float32)
+
+    for gr, g_ in zip(grad_refs, grads):
+        gr[:] = gr[:] + g_.reshape(gr.shape)
+
+
 def _pad_rows(a, tile):
     s = a.shape[0]
     pad = (-s) % tile
@@ -409,6 +510,10 @@ def _const_specs(leaves):
     ]
 
 
+def _row_spec(tile, dim):
+    return pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_calls(spec: EncoderSpec, s_padded: int, interpret: bool):
     n_tiles = s_padded // spec.tile
@@ -417,19 +522,9 @@ def _build_calls(spec: EncoderSpec, s_padded: int, interpret: bool):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, spec),
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(
-                    (spec.tile, spec.obs_dim),
-                    lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
+            in_specs=[_row_spec(spec.tile, spec.obs_dim)]
             + _const_specs(leaves),
-            out_specs=pl.BlockSpec(
-                (spec.tile, spec.head_dim),
-                lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=_row_spec(spec.tile, spec.head_dim),
             out_shape=jax.ShapeDtypeStruct(
                 (s_padded, spec.head_dim), jnp.float32
             ),
@@ -445,16 +540,8 @@ def _build_calls(spec: EncoderSpec, s_padded: int, interpret: bool):
             functools.partial(_bwd_kernel, spec),
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(
-                    (spec.tile, spec.obs_dim),
-                    lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (spec.tile, spec.head_dim),
-                    lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                _row_spec(spec.tile, spec.obs_dim),
+                _row_spec(spec.tile, spec.head_dim),
             ]
             + _const_specs(leaves),
             out_specs=grad_specs,
@@ -465,10 +552,58 @@ def _build_calls(spec: EncoderSpec, s_padded: int, interpret: bool):
     return fwd, bwd
 
 
+@functools.lru_cache(maxsize=None)
+def _build_pair_calls(
+    spec_a: EncoderSpec, spec_b: EncoderSpec, s_padded: int, interpret: bool
+):
+    assert spec_a.groups == spec_b.groups and spec_a.tile == spec_b.tile
+    tile = spec_a.tile
+    n_tiles = s_padded // tile
+
+    def fwd(x, leaves_a, leaves_b):
+        leaves = list(leaves_a) + list(leaves_b)
+        return pl.pallas_call(
+            functools.partial(_pair_fwd_kernel, spec_a, spec_b),
+            grid=(n_tiles,),
+            in_specs=[_row_spec(tile, spec_a.obs_dim)] + _const_specs(leaves),
+            out_specs=[
+                _row_spec(tile, spec_a.head_dim),
+                _row_spec(tile, spec_b.head_dim),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s_padded, spec_a.head_dim), jnp.float32),
+                jax.ShapeDtypeStruct((s_padded, spec_b.head_dim), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x, *leaves)
+
+    def bwd(x, dout_a, dout_b, leaves_a, leaves_b):
+        leaves = list(leaves_a) + list(leaves_b)
+        grad_shapes = [
+            jax.ShapeDtypeStruct(l.shape, jnp.float32) for l in leaves
+        ]
+        return pl.pallas_call(
+            functools.partial(_pair_bwd_kernel, spec_a, spec_b),
+            grid=(n_tiles,),
+            in_specs=[
+                _row_spec(tile, spec_a.obs_dim),
+                _row_spec(tile, spec_a.head_dim),
+                _row_spec(tile, spec_b.head_dim),
+            ]
+            + _const_specs(leaves),
+            out_specs=_const_specs(leaves),
+            out_shape=grad_shapes,
+            interpret=interpret,
+        )(x, dout_a, dout_b, *leaves)
+
+    return fwd, bwd
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# ------------------------------------------------------------ single network
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_encoder_head(spec: EncoderSpec, leaves, obs_packed):
     """[S, obs_dim] → [S, head_dim] through the fused encoder+head.
@@ -509,3 +644,57 @@ def _vjp_bwd(spec, resids, dout):
 
 
 fused_encoder_head.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------------------- network pair
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_pair_encoder_head(
+    spec_a: EncoderSpec, spec_b: EncoderSpec, leaves_a, leaves_b, obs_packed
+):
+    """Two encoder+head networks over the same rows in ONE kernel per
+    direction — the actor+critic update path.  Returns (out_a, out_b)."""
+    if not _on_tpu():
+        return (
+            reference_apply(spec_a, leaves_a, obs_packed),
+            reference_apply(spec_b, leaves_b, obs_packed),
+        )
+    s = obs_packed.shape[0]
+    x = _pad_rows(obs_packed, spec_a.tile)
+    fwd, _ = _build_pair_calls(spec_a, spec_b, x.shape[0], False)
+    out_a, out_b = fwd(x, tuple(leaves_a), tuple(leaves_b))
+    return out_a[:s], out_b[:s]
+
+
+def _pair_vjp_fwd(spec_a, spec_b, leaves_a, leaves_b, obs_packed):
+    out = fused_pair_encoder_head(spec_a, spec_b, leaves_a, leaves_b, obs_packed)
+    return out, (leaves_a, leaves_b, obs_packed)
+
+
+def _pair_vjp_bwd(spec_a, spec_b, resids, douts):
+    leaves_a, leaves_b, obs_packed = resids
+    dout_a, dout_b = douts
+    if not _on_tpu():
+        _, pba = jax.vjp(
+            lambda lv: reference_apply(spec_a, lv, obs_packed), leaves_a
+        )
+        _, pbb = jax.vjp(
+            lambda lv: reference_apply(spec_b, lv, obs_packed), leaves_b
+        )
+        return pba(dout_a)[0], pbb(dout_b)[0], jnp.zeros_like(obs_packed)
+    s = obs_packed.shape[0]
+    x = _pad_rows(obs_packed, spec_a.tile)
+    da = _pad_rows(dout_a.astype(jnp.float32), spec_a.tile)
+    db = _pad_rows(dout_b.astype(jnp.float32), spec_a.tile)
+    _, bwd = _build_pair_calls(spec_a, spec_b, x.shape[0], False)
+    dleaves = bwd(x, da, db, tuple(leaves_a), tuple(leaves_b))
+    na = spec_a.n_leaves
+    dla = tuple(
+        dl.astype(l.dtype) for dl, l in zip(dleaves[:na], leaves_a)
+    )
+    dlb = tuple(
+        dl.astype(l.dtype) for dl, l in zip(dleaves[na:], leaves_b)
+    )
+    return dla, dlb, jnp.zeros_like(obs_packed)
+
+
+fused_pair_encoder_head.defvjp(_pair_vjp_fwd, _pair_vjp_bwd)

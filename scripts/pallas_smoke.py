@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""On-chip Pallas compile smoke: every production kernel, fwd AND bwd, at
+production shapes.  MUST be green on the real TPU before any snapshot —
+interpreter-mode CI cannot catch Mosaic lowering failures (round 2 shipped
+a kernel that failed `Invalid relayout` on the chip while all CPU tests
+passed, zeroing the round's headline benchmark).
+
+Runs in ~1-2 min (compiles dominate).  Exit code 0 = all kernels compile
+and execute; prints per-kernel wall times (host-read synced — on the axon
+relay backend `block_until_ready` returns immediately, only a device→host
+transfer drains the queue).
+
+Usage:  python scripts/pallas_smoke.py            # production shapes
+        MUPE_FUSED_TILE=1024 python scripts/pallas_smoke.py   # tile sweep
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x) -> float:
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).reshape(-1)[0])
+
+
+def _timed(name, fn, *args):
+    t0 = time.time()
+    out = fn(*args)
+    _sync(out)
+    t_compile = time.time() - t0
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        out = fn(*args)
+    _sync(out)
+    t_run = (time.time() - t0) / reps
+    print(f"  {name:<28s} compile+1st {t_compile:7.2f}s   steady {t_run*1e3:8.2f} ms")
+    return out
+
+
+def main() -> int:
+    backend = jax.default_backend()
+    print(f"backend: {backend}  devices: {jax.devices()}")
+    if backend != "tpu":
+        print("WARNING: not on TPU — this smoke only proves anything on-chip")
+
+    from mupe_tpu.learning.mappo import Actor, Critic
+    from mupe_tpu.ops.fused_encoder import (
+        EncoderSpec,
+        _build_calls,
+        _build_pair_calls,
+        extract_leaves,
+        pack_obs,
+    )
+
+    # HideAndSeek production shapes: 3 entity groups -> 6 tokens; minibatch
+    # (4096*64/16) rows x 3 agents = 49152 encoder rows.
+    GROUPS = ((1, 35), (2, 3), (3, 5))
+    NAMES = ["state_self", "state_others", "cylinders"]
+    S = (4096 * 64 // 16) * 3
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    obs = {
+        "state_self": jax.random.normal(ks[0], (S, 1, 35)),
+        "state_others": jax.random.normal(ks[1], (S, 2, 3)),
+        "cylinders": jax.random.normal(ks[2], (S, 3, 5)),
+    }
+    spec_a = EncoderSpec(groups=GROUPS, head_dim=4)
+    spec_c = EncoderSpec(groups=GROUPS, head_dim=1)
+    print(f"rows={S} tile={spec_a.tile}")
+    actor = Actor(
+        action_dim=4, hidden_units=(256,),
+        attn_encoder="PartialAttentionEncoder", obs_is_dict=True,
+        dtype=jnp.bfloat16,
+    )
+    critic = Critic(
+        out_dim=1, hidden_units=(256,),
+        attn_encoder="PartialAttentionEncoder", obs_is_dict=True,
+        dtype=jnp.bfloat16,
+    )
+    obs1 = jax.tree_util.tree_map(lambda x: x[:1], obs)
+    pa = actor.init(ks[3], obs1)
+    pc = critic.init(jax.random.PRNGKey(5), obs1)
+    la = extract_leaves(spec_a, pa, NAMES)
+    lc = extract_leaves(spec_c, pc, NAMES)
+    x, _ = pack_obs(spec_a, obs, NAMES)
+    dout_a = jnp.ones((S, 4), jnp.float32)
+    dout_c = jnp.ones((S, 1), jnp.float32)
+
+    fwd_a, bwd_a = _build_calls(spec_a, S, False)
+    fwd_p, bwd_p = _build_pair_calls(spec_a, spec_c, S, False)
+
+    fails = []
+    cases = [
+        ("encoder fwd (actor)", jax.jit(fwd_a), (x,) + la),
+        ("encoder bwd (actor)", jax.jit(bwd_a), (x, dout_a) + la),
+        ("pair fwd (actor+critic)", jax.jit(fwd_p), (x, la, lc)),
+        ("pair bwd (actor+critic)", jax.jit(bwd_p), (x, dout_a, dout_c, la, lc)),
+    ]
+    for name, fn, args in cases:
+        try:
+            _timed(name, fn, *args)
+        except Exception as e:  # noqa: BLE001 — report every kernel
+            fails.append(name)
+            print(f"  {name:<28s} FAILED: {type(e).__name__}: {e}")
+
+    # Pallas FPS (AEG buffer downsampling path)
+    try:
+        from mupe_tpu.ops.fps_pallas import farthest_point_sampling_pallas
+
+        pts = jax.random.normal(jax.random.PRNGKey(9), (1024, 3))
+        mask = jnp.ones((1024,), bool)
+        _timed(
+            "fps_pallas (1024 -> 64)",
+            jax.jit(lambda p, m: farthest_point_sampling_pallas(p, 64, valid=m)),
+            pts, mask,
+        )
+    except Exception as e:  # noqa: BLE001
+        fails.append("fps_pallas")
+        print(f"  fps_pallas                 FAILED: {type(e).__name__}: {e}")
+
+    if fails:
+        print(f"SMOKE FAILED: {fails}")
+        return 1
+    print("SMOKE OK: all Pallas kernels compile and run")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
