@@ -53,12 +53,16 @@ def main():
 
     _, (done, stats, frames) = run(state, jax.random.PRNGKey(1))
     done = np.asarray(done)
-    n_done = max(done.sum(), 1)
-    print("episode stats (scripted chase policy):")
-    for k in ("success", "catch_reward", "distance_reward", "collision",
-              "first_capture_step"):
-        v = float((np.asarray(stats[k]) * done).sum() / n_done)
-        print(f"  {k:22s} {v:8.3f}")
+    n_done = int(done.sum())
+    if n_done == 0:
+        print("no episodes completed within max_episode_length — "
+              "stats unavailable (raise max_episode_length or num_envs)")
+    else:
+        print(f"episode stats (scripted chase policy, {n_done} episodes):")
+        for k in ("success", "catch_reward", "distance_reward", "collision",
+                  "first_capture_step"):
+            v = float((np.asarray(stats[k]) * done).sum() / n_done)
+            print(f"  {k:22s} {v:8.3f}")
 
     if "--gif" in sys.argv:
         from mupe_tpu.utils.render import episode_video

@@ -73,6 +73,14 @@ class HoverCfg:
     # sliding obs-history window ("observation_h", the History transform
     # transforms.py:493-553) consumed by ppo_tconv / ppo_adapt; 0 = off
     obs_history_len: int = 0
+    # onboard depth camera observation ("depth", [E, 1, H, W, 1] in [0,1])
+    # rendered by the analytic ray-cast sensor (sensors/depth.py) and
+    # consumed by the ppo_vision policy (MixedObsEncoder vision branch).
+    # Parity-plus: the reference camera is viz-only (sensors/camera.py:40).
+    obs_depth: bool = False
+    depth_width: int = 32
+    depth_height: int = 24
+    depth_max_range: float = 8.0
 
     @property
     def use_dr(self) -> bool:
@@ -106,7 +114,7 @@ class HoverCfg:
 
     @property
     def obs_is_dict(self) -> bool:
-        return self.use_dr or self.obs_history_len > 0
+        return self.use_dr or self.obs_history_len > 0 or self.obs_depth
 
     @property
     def latency_steps(self) -> int:
@@ -346,7 +354,28 @@ class Hover:
             obs["intrinsics"] = state.intrinsics
         if self.cfg.obs_history_len > 0:
             obs["observation_h"] = state.obs_h
+        if self.cfg.obs_depth:
+            obs["depth"] = self._depth_obs(state)
         return obs
+
+    def _depth_obs(self, state: HoverState) -> jnp.ndarray:
+        """Onboard depth frame [E, 1, H, W, 1] in [0, 1]: analytic ray cast
+        against ground plane + target sphere, normalized by DepthImageNorm
+        semantics (transforms.py:250-270)."""
+        from ..sensors.depth import DepthCameraCfg, depth_image
+        from ..transforms.obs import depth_image_norm
+
+        cam = DepthCameraCfg(
+            width=self.cfg.depth_width,
+            height=self.cfg.depth_height,
+            max_range=self.cfg.depth_max_range,
+        )
+        d = state.drone
+        depth = depth_image(
+            cam, d.pos, d.quat,
+            target_pos=state.target_pos, target_radius=0.25,
+        )
+        return depth_image_norm(depth, cam.min_range, cam.max_range)[..., None]
 
     # -- step -------------------------------------------------------------
     def step(
@@ -554,6 +583,8 @@ class Hover:
                 obs["intrinsics"] = new_state.intrinsics
             if cfg.obs_history_len > 0:
                 obs["observation_h"] = new_state.obs_h
+            if cfg.obs_depth:
+                obs["depth"] = self._depth_obs(new_state)
 
         info = {
             "drone_state": drone.state_vector()[..., :13],

@@ -228,6 +228,37 @@ class ConvVisionEncoder(nn.Module):
         return h.reshape(batch_shape + (self.out_dim,))
 
 
+class VisionActor(nn.Module):
+    """Mixed vision+state actor (MixedEncoder → DiagGaussian head): the
+    `ppo_vision` policy over envs emitting a "depth" frame alongside the
+    flat "observation" (reference MixedEncoder, networks.py:322-368, which
+    the paper never trains — here wired end-to-end as a parity-plus)."""
+
+    action_dim: int
+    vision_keys: Sequence[str] = ("depth",)
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray]):
+        from .distributions import DiagGaussianHead
+
+        feats = MixedObsEncoder(vision_keys=tuple(self.vision_keys))(obs)
+        return DiagGaussianHead(self.action_dim)(feats.astype(jnp.float32))
+
+
+class VisionCritic(nn.Module):
+    """Mixed vision+state critic (MixedEncoder → value head)."""
+
+    vision_keys: Sequence[str] = ("depth",)
+    out_dim: int = 1
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        feats = MixedObsEncoder(vision_keys=tuple(self.vision_keys))(obs)
+        return nn.Dense(
+            self.out_dim, kernel_init=nn.initializers.orthogonal(0.01)
+        )(feats.astype(jnp.float32))
+
+
 class MixedObsEncoder(nn.Module):
     """Vision branch + state branch, concatenated then projected
     (MixedEncoder, networks.py:322-368)."""

@@ -16,6 +16,8 @@ Obs-layout requirements per algo (what the env must provide):
   ppo_tconv    dict with "observation_h" (env.obs_history_len > 0)
   ppo_sdf      dict with a point-cloud "sdf" group (PointNet encoder)
   transformer  entity-dict obs (token per entity group)
+  ppo_vision   dict with a "depth" frame [.., H, W, C] + flat branches
+               (Hover with env.obs_depth=true; MixedObsEncoder)
 """
 from __future__ import annotations
 
@@ -132,6 +134,31 @@ def _make_ppo_sdf(env, overrides):
     cfg = dataclasses.replace(cfg, use_tp_net=False)
     return PPOSDFNavPolicy(
         cfg, n_agents=env.num_agents, action_dim=env.action_dim
+    )
+
+
+@register_algo("ppo_vision")
+def _make_ppo_vision(env, overrides):
+    """Vision PPO: MixedObsEncoder (conv depth branch + MLP state branch)
+    actor/critic over envs emitting a "depth" observation — the end-to-end
+    consumer of sensors/depth.py (reference MixedEncoder networks.py:322-368;
+    vision is viz-only there)."""
+    from .modules.networks import VisionActor, VisionCritic
+
+    cfg = _mk_cfg(MAPPOCfg, env, overrides)
+    cfg = dataclasses.replace(cfg, use_tp_net=False, use_fused_encoder=False)
+    if not _obs_is_dict(env):
+        raise ValueError(
+            "ppo_vision needs dict observations with a 'depth' frame — "
+            "set env.obs_depth=true (see envs/hover.py HoverCfg)"
+        )
+    return MAPPOPolicy(
+        cfg,
+        n_agents=env.num_agents,
+        action_dim=env.action_dim,
+        obs_is_dict=True,
+        actor_module=VisionActor(action_dim=env.action_dim),
+        critic_module=VisionCritic(),
     )
 
 

@@ -115,14 +115,12 @@ def make_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
     return train_iter
 
 
-def make_split_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
-    """Semantically identical to `make_train_iter`, but compiled as TWO
-    XLA programs — a rollout scan and the PPO/TP update — plus a tiny stats
-    reducer.  All data stays on device between the calls; the only cost is
-    two extra program dispatches per iteration.  This keeps XLA compile
-    time bounded on backends where the fused program's compile blows up
-    with num_envs (see the NOTE on `make_train_iter`).
-    """
+def make_rollout_update_progs(
+    env, policy: MAPPOPolicy, deterministic: bool = False
+):
+    """The two halves of the split training iteration as separate jitted
+    programs `(rollout_prog, update_prog)` — see `make_split_train_iter`.
+    Exposed for perf attribution (scripts/profile_breakdown.py)."""
     cfg = policy.cfg
     uses_tp = policy.tp_net is not None and getattr(env, "provides_tp", False)
 
@@ -195,6 +193,21 @@ def make_split_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False)
         )
         ts, metrics = policy.train_op(carry.ts, batch, k_train)
         return carry.replace(ts=ts, key=key), metrics
+
+    return rollout_prog, update_prog
+
+
+def make_split_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
+    """Semantically identical to `make_train_iter`, but compiled as TWO
+    XLA programs — a rollout scan and the PPO/TP update — plus a tiny stats
+    reducer.  All data stays on device between the calls; the only cost is
+    two extra program dispatches per iteration.  This keeps XLA compile
+    time bounded on backends where the fused program's compile blows up
+    with num_envs (see the NOTE on `make_train_iter`).
+    """
+    rollout_prog, update_prog = make_rollout_update_progs(
+        env, policy, deterministic
+    )
 
     def train_iter(carry: IterCarry):
         carry, traj, ep_stats = rollout_prog(carry)

@@ -47,9 +47,11 @@ def pinhole_rays(cfg: DepthCameraCfg) -> np.ndarray:
     """
     w, h = cfg.width, cfg.height
     tan_h = np.tan(cfg.hfov / 2.0)
-    tan_v = tan_h * h / w
-    ys = np.linspace(tan_h, -tan_h, w)       # left → right
-    zs = np.linspace(tan_v, -tan_v, h)       # top → bottom
+    tan_v = tan_h * h / w                    # square pixels assumed
+    # sample at pixel centers ((i+0.5)/n convention) so the FOV spans the
+    # pixel grid's outer edges, matching the standard pinhole model
+    ys = tan_h * (1.0 - (2.0 * np.arange(w) + 1.0) / w)   # left → right
+    zs = tan_v * (1.0 - (2.0 * np.arange(h) + 1.0) / h)   # top → bottom
     yy, zz = np.meshgrid(ys, zs)             # [H, W]
     dirs = np.stack([np.ones_like(yy), yy, zz], axis=-1)
     return (dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)).astype(
@@ -64,8 +66,10 @@ def _ray_ground(o, d, z0: float):
 
 
 def _ray_cylinder_inner(o, d, radius: float):
-    """Distance to the arena wall (infinite cylinder at origin), hit from
-    inside: the larger quadratic root is the forward wall hit."""
+    """Distance to the arena wall (infinite cylinder at origin): the
+    smallest positive root, so cameras inside the arena get the forward
+    wall and a camera that overshot the wall still renders the nearest
+    wall surface instead of a bogus far-side distance."""
     ox, oy = o[..., 0], o[..., 1]
     dx, dy = d[..., 0], d[..., 1]
     a = dx * dx + dy * dy
@@ -73,7 +77,10 @@ def _ray_cylinder_inner(o, d, radius: float):
     c = ox * ox + oy * oy - radius * radius
     disc = b * b - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = (-b + sq) / jnp.where(a < 1e-12, 1e-12, 2.0 * a)
+    denom = jnp.where(a < 1e-12, 1e-12, 2.0 * a)
+    t_near = (-b - sq) / denom
+    t_far = (-b + sq) / denom
+    t = jnp.where(t_near > 0.0, t_near, t_far)
     valid = (disc >= 0.0) & (t > 0.0)
     return jnp.where(valid, t, jnp.inf)
 

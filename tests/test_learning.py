@@ -43,6 +43,23 @@ def test_gae_matches_reference_loop():
     np.testing.assert_allclose(np.asarray(ret), ref_ret, atol=1e-4)
 
 
+def test_gae_associative_matches_sequential_scan():
+    """The parallel-prefix GAE equals the sequential lax.scan form at the
+    production shape (T=64) with episode boundaries."""
+    from mupe_tpu.learning.gae import compute_gae_scan
+
+    rng = np.random.default_rng(3)
+    t, n, k = 64, 32, 3
+    reward = jnp.asarray(rng.normal(size=(t, n, k)).astype(np.float32))
+    done = jnp.asarray((rng.uniform(size=(t, n, 1)) < 0.1).astype(np.float32))
+    value = jnp.asarray(rng.normal(size=(t, n, k)).astype(np.float32))
+    next_value = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+    a1, r1 = compute_gae(reward, done, value, next_value, 0.995, 0.95)
+    a2, r2 = compute_gae_scan(reward, done, value, next_value, 0.995, 0.95)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-4)
+
+
 def test_valuenorm1_round_trip():
     vn = ValueNorm1.create((1,), beta=0.9)
     rng = np.random.default_rng(1)
