@@ -180,10 +180,33 @@ def pack_obs(spec: EncoderSpec, obs: Dict[str, jnp.ndarray], group_names):
 
 
 # ---------------------------------------------------------------- math core
+#
+# Reduction strategy (measured, r3): keep reductions on the VPU as plain
+# jnp ops.  The alternative — riding every mean/sum on the MXU as X @ 1 /
+# 1ᵀ @ X ones-matmuls — was implemented and benchmarked at production
+# shapes: 4.70 vs 3.87 ms/minibatch WORSE, because ~30 tiny matmuls per
+# tile pay the systolic-array fill/drain latency without amortizing it.
+# Mosaic's native lane/sublane reduction chains beat that.
+
+
+def _rowsum(x):
+    """[T, D] → [T, 1] sum over lanes."""
+    return jnp.sum(x, axis=-1, keepdims=True)
+
+
+def _rowmean(x):
+    return jnp.mean(x, axis=-1, keepdims=True)
+
+
+def _colsum(x):
+    """[T, D] → [D] sum over rows."""
+    return jnp.sum(x.astype(jnp.float32), axis=0)
+
+
 def _ln_f32(x, scale, bias):
     x = x.astype(jnp.float32)
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(m)
+    m = _rowmean(x)
+    var = _rowmean(jnp.square(x)) - jnp.square(m)
     inv = jax.lax.rsqrt(var + _LN_EPS)
     n = (x - m) * inv
     return n * scale + bias, n, inv
@@ -279,9 +302,7 @@ def _forward_core(spec: EncoderSpec, x, leaves):
     s_cols = []
     for t in range(n_tok):
         kt = _rows(ks_all, t, t_rows).astype(jnp.float32)
-        s_cols.append(
-            jnp.sum(q * kt, axis=-1, keepdims=True) * scale
-        )
+        s_cols.append(_rowsum(q * kt) * scale)
     smax = s_cols[0]
     for t in range(1, n_tok):
         smax = jnp.maximum(smax, s_cols[t])
@@ -315,14 +336,10 @@ def _forward_core(spec: EncoderSpec, x, leaves):
 def _ln_bwd(dy, n, inv, scale):
     """Given d(out) of LN out = n*scale+bias, return (dx, dscale, dbias)."""
     n = n.astype(jnp.float32)
-    dscale = jnp.sum(dy * n, axis=0)
-    dbias = jnp.sum(dy, axis=0)
+    dscale = _colsum(dy * n)
+    dbias = _colsum(dy)
     dn = dy * scale
-    dx = inv * (
-        dn
-        - jnp.mean(dn, axis=-1, keepdims=True)
-        - n * jnp.mean(dn * n, axis=-1, keepdims=True)
-    )
+    dx = inv * (dn - _rowmean(dn) - n * _rowmean(dn * n))
     return dx, dscale, dbias
 
 
@@ -343,23 +360,23 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
     t_rows = dout.shape[0]
 
     dwh = _mm_tn(res["y2"], dout)
-    dbh = jnp.sum(dout, axis=0)
+    dbh = _colsum(dout)
     dy2 = _mm(dout, wh.T)
     dr2, dg2ln, db2ln = _ln_bwd(dy2, res["n2"], res["inv2"], g2)
     dy1 = dr2
     dg2out = dr2
     dw2 = _mm_tn(res["f"], dg2out)
-    dbf2 = jnp.sum(dg2out, axis=0)
+    dbf2 = _colsum(dg2out)
     df = _mm(dg2out, w2.T)
     dpre1 = df * _dgelu_tanh(res["pre1"])
     dw1 = _mm_tn(res["y1"], dpre1)
-    dbf1 = jnp.sum(dpre1, axis=0)
+    dbf1 = _colsum(dpre1)
     dy1 = dy1 + _mm(dpre1, w1.T)
     dr1, dg1ln, db1ln = _ln_bwd(dy1, res["n1"], res["inv1"], g1)
     dh0 = dr1
     do = dr1
     dwo = _mm_tn(res["att"], do)
-    dbo = jnp.sum(do, axis=0)
+    dbo = _colsum(do)
     datt = _mm(do, wo.T)
     # attention bwd — per-token [T, 1] columns (see _forward_core layout note)
     a_cols, q = res["a_cols"], res["q"]
@@ -367,7 +384,7 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
     das_cols = []
     for t in range(n_tok):
         vt = _rows(vs_all, t, t_rows).astype(jnp.float32)
-        das_cols.append(jnp.sum(datt * vt, axis=-1, keepdims=True))
+        das_cols.append(_rowsum(datt * vt))
     wsum = a_cols[0] * das_cols[0]
     for t in range(1, n_tok):
         wsum = wsum + a_cols[t] * das_cols[t]
@@ -385,11 +402,11 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
     dks_all = jnp.concatenate(dk_blocks, axis=0)   # [n_tok·T, 128] bf16
     dvs_all = jnp.concatenate(dv_blocks, axis=0)
     dwq = _mm_tn(h_all[:t_rows], dq)
-    dbq = jnp.sum(dq, axis=0)
+    dbq = _colsum(dq)
     dwk = _mm_tn(h_all, dks_all)
-    dbk = jnp.sum(dks_all.astype(jnp.float32), axis=0)
+    dbk = _colsum(dks_all)
     dwv = _mm_tn(h_all, dvs_all)
-    dbv = jnp.sum(dvs_all.astype(jnp.float32), axis=0)
+    dbv = _colsum(dvs_all)
     dh_all = _mm(dks_all, wk.T) + _mm(dvs_all, wv.T)
     dh_tok0 = dh_all[:t_rows] + dh0 + _mm(dq, wq.T)
     dh_all = jnp.concatenate([dh_tok0, dh_all[t_rows:]], axis=0)
@@ -405,7 +422,7 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
         for _ in range(k):
             de = _rows(de_all, t, t_rows)
             dwg = dwg + _mm_tn(res["xs"][t], de)
-            dbg = dbg + jnp.sum(de, axis=0)
+            dbg = dbg + _colsum(de)
             t += 1
         dgw += [dwg, dbg]
     return tuple(
@@ -489,6 +506,231 @@ def _pair_bwd_kernel(spec_a: EncoderSpec, spec_b: EncoderSpec, *refs):
 
     for gr, g_ in zip(grad_refs, grads):
         gr[:] = gr[:] + g_.reshape(gr.shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOLossCfg:
+    """Static PPO-loss constants baked into the fwd+loss kernel."""
+
+    clip_param: float
+    huber_delta: float
+    action_dim: int
+    n_rows: int          # unpadded row count S (normalization + pad mask)
+
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+# column layout of the kernel's per-row stats output [T, 8 + A]
+_SUM_MIN12 = 0      # min(surr1, surr2)
+_SUM_RATIO = 1      # ratio
+_SUM_RATIO2 = 2     # ratio²
+_SUM_H1 = 3         # huber(v − R)
+_SUM_H2 = 4         # huber(clip_v − R)
+_SUM_SQERR = 5      # (v − R)²
+_SUM_RET = 6        # R
+_SUM_RET2 = 7       # R²
+_SUM_DLS = 8        # cols 8..8+A: dlogp·(z²−1) per action dim
+_N_STATS = 8
+
+
+def _pair_fwd_loss_kernel(
+    spec_a: EncoderSpec, spec_c: EncoderSpec, loss: PPOLossCfg, *refs
+):
+    """Pair forward + the full PPO-clip/clipped-Huber loss gradient math in
+    ONE kernel: emits per-row dμ and BOTH value-branch dv candidates (the
+    reference takes max of batch-MEAN huber losses, mappo.py:326-352, so
+    branch selection needs the full batch), plus a per-row stats matrix
+    [T, 8+A].  Mosaic-layout rules applied throughout: everything is
+    elementwise (no in-kernel scalar reductions — ~12 sublane reductions
+    per tile measured +0.45 ms/minibatch), the loss operands arrive as
+    SEPARATE row inputs (lane-slicing an [T, 8] aux costs per-lane
+    relayouts), and the stats matrix is built by mask-multiply-add, not
+    lane-concatenation of 1-lane columns."""
+    na, nc = spec_a.n_leaves, spec_c.n_leaves
+    A = loss.action_dim
+    x_ref, act_ref, logp_ref, adv_ref, vold_ref, ret_ref, ls_ref = refs[:7]
+    la = [r[:] for r in refs[7 : 7 + na]]
+    lc = [r[:] for r in refs[7 + na : 7 + na + nc]]
+    dmu_ref, dv1_ref, dv2_ref, stats_ref = refs[7 + na + nc :]
+
+    x = x_ref[:].astype(jnp.float32)
+    mean, _ = _forward_core(spec_a, x, la)              # [T, A]
+    vout, _ = _forward_core(spec_c, x, lc)              # [T, 1]
+    act = act_ref[:].astype(jnp.float32)                # [T, A]
+    logp_old = logp_ref[:].astype(jnp.float32)          # [T, 1]
+    adv = adv_ref[:].astype(jnp.float32)
+    v_old = vold_ref[:].astype(jnp.float32)
+    ret = ret_ref[:].astype(jnp.float32)
+    log_std = ls_ref[:].astype(jnp.float32)             # [A]
+
+    t_rows = x.shape[0]
+    step = pl.program_id(0)
+    row = step * t_rows + jax.lax.broadcasted_iota(
+        jnp.int32, (t_rows, 1), 0
+    )
+    maskr = (row < loss.n_rows).astype(jnp.float32)     # padded-row mask
+    inv_s = 1.0 / loss.n_rows
+    eps = loss.clip_param
+    delta = loss.huber_delta
+
+    # ---- actor: PPO-clip (matches mappo._update_joint loss_fn exactly)
+    sigma = jnp.exp(log_std)
+    z = (act - mean) / sigma
+    logp = jnp.sum(
+        -0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI, axis=-1, keepdims=True
+    )
+    ratio = jnp.exp(logp - logp_old)
+    surr1 = ratio * adv
+    surr2 = jnp.clip(ratio, 1.0 - eps, 1.0 + eps) * adv
+    min12 = jnp.minimum(surr1, surr2)
+    in_clip = (ratio > 1.0 - eps) & (ratio < 1.0 + eps)
+    g_ratio = adv * jnp.where(
+        surr1 <= surr2, 1.0, in_clip.astype(jnp.float32)
+    )
+    # dL_policy/dlogp, with −mean(min·A) normalization folded in
+    dlogp = -(A * inv_s) * g_ratio * ratio * maskr      # [T, 1]
+    dmu = dlogp * z / sigma                             # [T, A]
+
+    # ---- critic: clipped Huber, both branches (selection outside)
+    d1 = vout - ret
+    clip_v = v_old + jnp.clip(vout - v_old, -eps, eps)
+    d2 = clip_v - ret
+
+    def hub(d):
+        ad = jnp.abs(d)
+        return jnp.where(ad <= delta, 0.5 * d * d, delta * (ad - 0.5 * delta))
+
+    dv1 = inv_s * jnp.clip(d1, -delta, delta) * maskr
+    dv2 = (
+        inv_s * jnp.clip(d2, -delta, delta)
+        * (jnp.abs(vout - v_old) <= eps).astype(jnp.float32) * maskr
+    )
+
+    dmu_ref[:] = dmu
+    dv1_ref[:] = dv1
+    dv2_ref[:] = dv2
+    # [T, 8+A] stats via broadcast mask-multiply-add ([T,1]·[1,K] lane
+    # broadcasts — no lane-concat, no relayout)
+    n_cols = _N_STATS + A
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+    cols = [
+        (_SUM_MIN12, min12 * maskr),
+        (_SUM_RATIO, ratio * maskr),
+        (_SUM_RATIO2, jnp.square(ratio) * maskr),
+        (_SUM_H1, hub(d1) * maskr),
+        (_SUM_H2, hub(d2) * maskr),
+        (_SUM_SQERR, jnp.square(d1) * maskr),
+        (_SUM_RET, ret * maskr),
+        (_SUM_RET2, jnp.square(ret) * maskr),
+    ]
+    stats = jnp.zeros((mean.shape[0], n_cols), jnp.float32)
+    for k, col in cols:
+        stats = stats + col * (lane == k).astype(jnp.float32)
+    dls_rows = dlogp * (jnp.square(z) - 1.0)            # [T, A]
+    for d in range(A):
+        stats = stats + dls_rows[:, d : d + 1] * (
+            lane == _SUM_DLS + d
+        ).astype(jnp.float32)
+    stats_ref[:] = stats
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pair_loss_call(
+    spec_a: EncoderSpec,
+    spec_c: EncoderSpec,
+    loss: PPOLossCfg,
+    s_padded: int,
+    interpret: bool,
+):
+    assert spec_a.groups == spec_c.groups and spec_a.tile == spec_c.tile
+    tile = spec_a.tile
+    n_tiles = s_padded // tile
+    A = loss.action_dim
+
+    def fwd_loss(x, act, logp_old, adv, v_old, ret, log_std, leaves_a, leaves_b):
+        leaves = list(leaves_a) + list(leaves_b)
+        return pl.pallas_call(
+            functools.partial(_pair_fwd_loss_kernel, spec_a, spec_c, loss),
+            grid=(n_tiles,),
+            in_specs=[
+                _row_spec(tile, spec_a.obs_dim),
+                _row_spec(tile, A),
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+            ]
+            + _const_specs([log_std])
+            + _const_specs(leaves),
+            out_specs=[
+                _row_spec(tile, A),
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+                _row_spec(tile, _N_STATS + A),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s_padded, A), jnp.float32),
+                jax.ShapeDtypeStruct((s_padded, 1), jnp.float32),
+                jax.ShapeDtypeStruct((s_padded, 1), jnp.float32),
+                jax.ShapeDtypeStruct((s_padded, _N_STATS + A), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x, act, logp_old, adv, v_old, ret, log_std, *leaves)
+
+    return fwd_loss
+
+
+def fused_pair_ppo_grads(
+    spec_a: EncoderSpec,
+    spec_c: EncoderSpec,
+    loss: PPOLossCfg,
+    leaves_a,
+    leaves_c,
+    log_std,
+    x,
+    act,
+    logp_old,
+    adv,
+    v_old,
+    ret,
+    interpret: bool = False,
+):
+    """One fwd+loss launch + one pair-bwd launch → direct PPO gradients.
+
+    Returns (dleaves_a, dlog_std_policy_term, dleaves_c, metric sums):
+    the XLA loss chain between the old fwd and bwd launches collapses into
+    the forward kernel; only the value-branch select (max of batch means)
+    stays outside.  `dlog_std` here is the POLICY term only — the entropy
+    bonus adds a constant −entropy_coef per dim, left to the caller (it
+    also owns the entropy metric, which needs no kernel at all)."""
+    s = x.shape[0]
+    tile = spec_a.tile
+    xp = _pad_rows(x, tile)
+    fwd_loss = _build_pair_loss_call(
+        spec_a, spec_c, loss, xp.shape[0], interpret
+    )
+    pads = [
+        _pad_rows(a.astype(jnp.float32), tile)
+        for a in (act, logp_old, adv, v_old, ret)
+    ]
+    dmu, dv1, dv2, stats = fwd_loss(
+        xp, *pads, log_std, tuple(leaves_a), tuple(leaves_c)
+    )
+    sums = jnp.sum(stats, axis=0)  # one fused column reduction in XLA
+    h1 = sums[_SUM_H1] / loss.n_rows
+    h2 = sums[_SUM_H2] / loss.n_rows
+    dv = jnp.where(h1 >= h2, dv1, dv2)
+    _, bwd = _build_pair_calls(spec_a, spec_c, xp.shape[0], interpret)
+    dleaves = bwd(xp, dmu, dv, tuple(leaves_a), tuple(leaves_c))
+    na = spec_a.n_leaves
+    dla = tuple(
+        dl.astype(l.dtype) for dl, l in zip(dleaves[:na], leaves_a)
+    )
+    dlc = tuple(
+        dl.astype(l.dtype) for dl, l in zip(dleaves[na:], leaves_c)
+    )
+    dlog_std = sums[_SUM_DLS : _SUM_DLS + loss.action_dim]
+    return dla, dlog_std, dlc, sums
 
 
 def _pad_rows(a, tile):

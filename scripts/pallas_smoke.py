@@ -95,12 +95,27 @@ def main() -> int:
     fwd_a, bwd_a = _build_calls(spec_a, S, False)
     fwd_p, bwd_p = _build_pair_calls(spec_a, spec_c, S, False)
 
+    from mupe_tpu.ops.fused_encoder import PPOLossCfg, fused_pair_ppo_grads
+
+    loss_cfg = PPOLossCfg(
+        clip_param=0.1, huber_delta=10.0, action_dim=4, n_rows=S
+    )
+    aux = jax.random.normal(jax.random.PRNGKey(11), (S, 8)) * 0.3
+    log_std = jnp.zeros((4,))
+
+    def ppo_grads(x, aux, log_std):
+        return fused_pair_ppo_grads(
+            spec_a, spec_c, loss_cfg, la, lc, log_std, x,
+            aux[:, :4], aux[:, 4:5], aux[:, 5:6], aux[:, 6:7], aux[:, 7:8],
+        )
+
     fails = []
     cases = [
         ("encoder fwd (actor)", jax.jit(fwd_a), (x,) + la),
         ("encoder bwd (actor)", jax.jit(bwd_a), (x, dout_a) + la),
         ("pair fwd (actor+critic)", jax.jit(fwd_p), (x, la, lc)),
         ("pair bwd (actor+critic)", jax.jit(bwd_p), (x, dout_a, dout_c, la, lc)),
+        ("pair fwd+loss+bwd (PPO)", jax.jit(ppo_grads), (x, aux, log_std)),
     ]
     for name, fn, args in cases:
         try:

@@ -28,6 +28,11 @@ import numpy as np
 NUM_ENVS = int(os.environ.get("PROF_NUM_ENVS", 4096))
 T = int(os.environ.get("PROF_TRAIN_EVERY", 64))
 ITERS = int(os.environ.get("PROF_ITERS", 5))
+# comma-separated subset of {full,scan,glue,direct,tp,pair} to skip the
+# multi-minute compiles of sections you aren't iterating on
+SECTIONS = set(
+    os.environ.get("PROF_SECTIONS", "full,scan,glue,direct,tp,pair").split(",")
+)
 
 
 def _sync(out):
@@ -47,6 +52,10 @@ def timeit(fn, *args, warmup=2, iters=ITERS):
     return (time.time() - t0) / iters
 
 
+class _SkipSection(Exception):
+    pass
+
+
 def main():
     from mupe_tpu.envs.hideandseek import HideAndSeek, HideAndSeekCfg
     from mupe_tpu.learning import MAPPOCfg, MAPPOPolicy, init_carry
@@ -63,13 +72,14 @@ def main():
     rollout_prog, update_prog = make_rollout_update_progs(env, policy)
 
     print(f"{NUM_ENVS} envs x {T} steps, fused pair update")
-    t_roll = timeit(rollout_prog, carry)
     carry2, batch, _ = rollout_prog(carry)
-    t_upd = timeit(update_prog, carry2, batch)
-    print(f"  rollout            {t_roll*1e3:8.1f} ms")
-    print(f"  update             {t_upd*1e3:8.1f} ms")
-    print(f"  iter total         {(t_roll+t_upd)*1e3:8.1f} ms "
-          f"-> {NUM_ENVS*T/(t_roll+t_upd)/1e6:.3f} M env-steps/s")
+    if "full" in SECTIONS:
+        t_roll = timeit(rollout_prog, carry)
+        t_upd = timeit(update_prog, carry2, batch)
+        print(f"  rollout            {t_roll*1e3:8.1f} ms")
+        print(f"  update             {t_upd*1e3:8.1f} ms")
+        print(f"  iter total         {(t_roll+t_upd)*1e3:8.1f} ms "
+              f"-> {NUM_ENVS*T/(t_roll+t_upd)/1e6:.3f} M env-steps/s")
 
     # ---- decompose the update: minibatch scan alone (gather+kernels+opt)
     b = T * NUM_ENVS
@@ -111,9 +121,78 @@ def main():
         ts, infos = jax.lax.scan(body, ts, idx)
         return infos["policy_loss"][-1]
 
-    t_scan = timeit(scan_joint, carry2.ts, packed, jax.random.PRNGKey(1))
-    print(f"  {n_steps}x joint mb scan  {t_scan*1e3:8.1f} ms "
-          f"({t_scan/n_steps*1e3:.2f} ms/minibatch)")
+    if "scan" in SECTIONS:
+        t_scan = timeit(scan_joint, carry2.ts, packed, jax.random.PRNGKey(1))
+        print(f"  {n_steps}x joint mb scan  {t_scan*1e3:8.1f} ms "
+              f"({t_scan/n_steps*1e3:.2f} ms/minibatch)")
+
+    # ---- glue-only: same joint scan with the pair kernel stubbed to a
+    # trivial slice, isolating gather+unpack+XLA-loss+transpose+optimizer
+    import mupe_tpu.ops.fused_encoder as fe
+
+    orig_pair = fe.fused_pair_encoder_head
+
+    def _stub(sa, sc, la_, lc_, xx):
+        return (
+            xx[:, :4] * jnp.sum(la_[0][0]) * 0.001,
+            xx[:, :1] * jnp.sum(lc_[0][0]) * 0.001,
+        )
+
+    fe.fused_pair_encoder_head = _stub
+    try:
+        if "glue" not in SECTIONS:
+            raise _SkipSection()
+        @jax.jit
+        def scan_glue(ts, packed, key):
+            idx = jax.random.randint(key, (n_steps, mb), 0, b)
+
+            def body(ts, ix):
+                return policy._update_joint(ts, unpack(packed[ix]))
+
+            ts, infos = jax.lax.scan(body, ts, idx)
+            return infos["policy_loss"][-1]
+
+        t_glue = timeit(scan_glue, carry2.ts, packed, jax.random.PRNGKey(1))
+        print(f"  {n_steps}x glue-only scan {t_glue*1e3:8.1f} ms "
+              f"({t_glue/n_steps*1e3:.2f} ms/minibatch)")
+    except _SkipSection:
+        pass
+    finally:
+        fe.fused_pair_encoder_head = orig_pair
+
+    @jax.jit
+    def scan_joint_direct(ts, packed, key):
+        idx = jax.random.randint(key, (n_steps, mb), 0, b)
+
+        def body(ts, ix):
+            return policy._update_joint_direct(ts, unpack(packed[ix]))
+
+        ts, infos = jax.lax.scan(body, ts, idx)
+        return infos["policy_loss"][-1]
+
+    if "direct" in SECTIONS:
+        t_dir = timeit(scan_joint_direct, carry2.ts, packed, jax.random.PRNGKey(1))
+        print(f"  {n_steps}x direct mb scan {t_dir*1e3:8.1f} ms "
+              f"({t_dir/n_steps*1e3:.2f} ms/minibatch)")
+
+    # ---- TP-net supervised update alone (the only non-PPO learner cost)
+    from mupe_tpu.learning.mappo import RolloutBatch
+
+    rb = RolloutBatch(
+        obs=batch["obs"], action=batch["action"], logp=batch["logp"],
+        value=batch["value"], reward=batch["reward"], done=batch["done"],
+        last_obs=carry2.obs, tp_input=batch.get("tp_input"),
+        tp_gt=batch.get("tp_gt"), tp_done=batch.get("tp_done"),
+    )
+
+    @jax.jit
+    def tp_only(ts, rb, key):
+        ts2, m = policy._update_tp(ts, rb, key)
+        return m["TP_loss"]
+
+    if "tp" in SECTIONS:
+        t_tp = timeit(tp_only, carry2.ts, rb, jax.random.PRNGKey(2))
+        print(f"  TP update alone    {t_tp*1e3:8.1f} ms")
 
     # ---- bare pair kernel fwd+bwd (no gather, no optimizer)
     from mupe_tpu.ops.fused_encoder import (
@@ -135,23 +214,25 @@ def main():
         la = extract_leaves(spec_a, ap, names)
         lc = extract_leaves(spec_c, cp, names)
 
-        def loss(lla, llc):
-            oa, oc = fused_pair_encoder_head(spec_a, spec_c, lla, llc, x)
+        def loss(lla, llc, xx):
+            oa, oc = fused_pair_encoder_head(spec_a, spec_c, lla, llc, xx)
             return jnp.sum(oa) + jnp.sum(oc)
 
         def body(c, _):
-            ga, gc = jax.grad(loss, argnums=(0, 1))(la, lc)
-            return c + ga[0][0, 0] + gc[0][0, 0], None
+            # thread the carry into x: a loop-INVARIANT body would be
+            # hoisted out of the scan by XLA and measure one call, not 64
+            ga, gc = jax.grad(loss, argnums=(0, 1))(la, lc, x + c * 1e-20)
+            return c + ga[0][0, 0] * 1e-12 + gc[0][0, 0] * 1e-12, None
 
         out, _ = jax.lax.scan(body, 0.0, None, length=n_steps)
         return out
 
-    t_pair = timeit(scan_pair, carry2.ts.actor_params, carry2.ts.critic_params, x)
-    print(f"  {n_steps}x pair fwd+bwd   {t_pair*1e3:8.1f} ms "
-          f"({t_pair/n_steps*1e3:.2f} ms/minibatch)")
-    print(f"  => prep+TP ~ {(t_upd-t_scan)*1e3:.1f} ms, "
-          f"gather+opt ~ {(t_scan-t_pair)*1e3:.1f} ms, "
-          f"kernels ~ {t_pair*1e3:.1f} ms")
+    if "pair" in SECTIONS:
+        t_pair = timeit(
+            scan_pair, carry2.ts.actor_params, carry2.ts.critic_params, x
+        )
+        print(f"  {n_steps}x pair fwd+bwd   {t_pair*1e3:8.1f} ms "
+              f"({t_pair/n_steps*1e3:.2f} ms/minibatch)")
 
 
 if __name__ == "__main__":

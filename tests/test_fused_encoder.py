@@ -173,6 +173,51 @@ def test_pair_custom_vjp_cpu_fallback():
         assert sum(n > 0 for n in norms) >= len(norms) - 1
 
 
+def test_direct_grad_joint_update_matches_value_and_grad():
+    """The in-kernel PPO loss path (_update_joint_direct, interpret mode)
+    produces the same updated params and metrics as the jax.value_and_grad
+    path (_update_joint) — including the clipped-Huber branch select and
+    the entropy gradient on log_std, on a padded (non-tile-multiple) batch
+    (40 rows pad to one 512-row tile — exercises the in-kernel row mask)."""
+    from mupe_tpu.learning.mappo import MAPPOCfg, MAPPOPolicy
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    mbn, n, a_dim = 20, 2, 4  # 40 rows -> pads to 64 at tile 32
+    obs = {
+        "state_self": jax.random.normal(ks[0], (mbn, n, 1, 35)),
+        "state_others": jax.random.normal(ks[1], (mbn, n, 2, 3)),
+        "cylinders": jax.random.normal(ks[2], (mbn, n, 3, 5)),
+    }
+    cfg = MAPPOCfg(use_tp_net=False)
+    policy = MAPPOPolicy(cfg, n_agents=n, action_dim=a_dim, obs_is_dict=True)
+    ts = policy.init(ks[3], jax.tree_util.tree_map(lambda x: x[:1], obs))
+    mb = {
+        "obs": obs,
+        "action": jax.random.normal(ks[4], (mbn, n, a_dim)) * 0.5,
+        "logp": jax.random.normal(ks[5], (mbn, n, 1)) * 0.2 - 5.5,
+        "advantages": jax.random.normal(ks[6], (mbn, n, 1)),
+        "value": jax.random.normal(ks[7], (mbn, n, 1)) * 0.3,
+        "returns": jax.random.normal(jax.random.PRNGKey(9), (mbn, n, 1)) * 0.3,
+    }
+    ts_ref, info_ref = policy._update_joint(ts, mb)
+    ts_dir, info_dir = policy._update_joint_direct(ts, mb, interpret=True)
+    for k in ("policy_loss", "value_loss", "ESS", "explained_var", "entropy"):
+        ref, got = float(info_ref[k]), float(info_dir[k])
+        assert abs(ref - got) < 5e-3 * max(1.0, abs(ref)), (k, ref, got)
+    for k in ("actor_grad_norm", "critic_grad_norm"):
+        ref, got = float(info_ref[k]), float(info_dir[k])
+        assert abs(ref - got) < 2e-3 * max(1.0, abs(ref)), (k, ref, got)
+    for pref, pdir in zip(
+        jax.tree_util.tree_leaves((ts_ref.actor_params, ts_ref.critic_params)),
+        jax.tree_util.tree_leaves((ts_dir.actor_params, ts_dir.critic_params)),
+    ):
+        # adam's m̂/√v̂ is ±1-ish at step one, so a bf16-noise-level grad
+        # difference on a near-zero entry flips the sign of one lr-sized
+        # step — bound is 2·lr, not grad tolerance
+        assert float(jnp.max(jnp.abs(pref - pdir))) < 2.5e-3
+
+
 def test_custom_vjp_grads_flow_into_flax_tree():
     """jax.grad through extract_leaves + fused op lands in the param tree."""
     spec, obs, k = _setup()
