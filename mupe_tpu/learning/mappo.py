@@ -482,7 +482,12 @@ class MAPPOPolicy:
             dist = self._actor_dist(actor_params, mb["obs"], fused=True)
             logp_new = dist.log_prob(mb["action"])[..., None]
             entropy = dist.entropy()[..., None]
-            ratio = jnp.exp(logp_new - mb["logp"])
+            # clamp the log-ratio before exp: one outlier sample with
+            # a sharpened Gaussian can push exp() to inf and a single
+            # inf*adv NaNs the whole param tree (observed on-chip at
+            # ~275M frames); e**20 is far outside the clip range so
+            # the clamp never changes a finite-loss gradient
+            ratio = jnp.exp(jnp.clip(logp_new - mb["logp"], -20.0, 20.0))
             adv = mb["advantages"]
             surr1 = ratio * adv
             surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv
@@ -534,7 +539,12 @@ class MAPPOPolicy:
             )
             logp_new = dist.log_prob(mb["action"])[..., None]
             entropy = dist.entropy()[..., None]
-            ratio = jnp.exp(logp_new - mb["logp"])
+            # clamp the log-ratio before exp: one outlier sample with
+            # a sharpened Gaussian can push exp() to inf and a single
+            # inf*adv NaNs the whole param tree (observed on-chip at
+            # ~275M frames); e**20 is far outside the clip range so
+            # the clamp never changes a finite-loss gradient
+            ratio = jnp.exp(jnp.clip(logp_new - mb["logp"], -20.0, 20.0))
             adv = mb["advantages"]
             surr1 = ratio * adv
             surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv

@@ -208,7 +208,9 @@ class PPORNNPolicy:
             )
             dist = Gaussian(jnp.swapaxes(means, 0, 1), jnp.swapaxes(log_stds, 0, 1))
             logp_new = dist.log_prob(mbatch["action"])[..., None]
-            ratio = jnp.exp(logp_new - mbatch["logp"])
+            ratio = jnp.exp(
+                jnp.clip(logp_new - mbatch["logp"], -20.0, 20.0)
+            )  # inf-ratio guard (see mappo._update_actor)
             surr1 = ratio * mbatch["adv"]
             surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * mbatch["adv"]
             pl = -jnp.mean(jnp.minimum(surr1, surr2) * self.action_dim)

@@ -579,7 +579,7 @@ def _pair_fwd_loss_kernel(
     logp = jnp.sum(
         -0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI, axis=-1, keepdims=True
     )
-    ratio = jnp.exp(logp - logp_old)
+    ratio = jnp.exp(jnp.clip(logp - logp_old, -20.0, 20.0))  # inf guard
     surr1 = ratio * adv
     surr2 = jnp.clip(ratio, 1.0 - eps, 1.0 + eps) * adv
     min12 = jnp.minimum(surr1, surr2)
