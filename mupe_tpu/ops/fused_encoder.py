@@ -61,9 +61,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LN_EPS = 1e-6  # flax LayerNorm default
 
-# Row-tile size for the sample grid.  512 fits the pair kernel's working set
-# in VMEM with bf16 residuals; override for on-chip experiments.
+# Row-tile sizes for the sample grid.  The BWD kernels' recompute working
+# set caps their tile at 512 (1024 needs 26.7 MB VMEM vs the 16 MB limit,
+# measured); the FWD kernels hold no residuals and can tile larger —
+# MUPE_FUSED_TILE_FWD=1024 halves their grid-step count (0 = same as tile).
 _DEFAULT_TILE = int(os.environ.get("MUPE_FUSED_TILE", "512"))
+_DEFAULT_TILE_FWD = int(os.environ.get("MUPE_FUSED_TILE_FWD", "0"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +81,15 @@ class EncoderSpec:
     embed_dim: int = 128
     ff_dim: int = 128
     tile: int = _DEFAULT_TILE
+    tile_fwd: int = _DEFAULT_TILE_FWD
+
+    @property
+    def fwd_tile(self) -> int:
+        return self.tile_fwd if self.tile_fwd else self.tile
+
+    @property
+    def pad_tile(self) -> int:
+        return max(self.tile, self.fwd_tile)
 
     @property
     def n_tokens(self) -> int:
@@ -704,7 +716,7 @@ def fused_pair_ppo_grads(
     bonus adds a constant −entropy_coef per dim, left to the caller (it
     also owns the entropy metric, which needs no kernel at all)."""
     s = x.shape[0]
-    tile = spec_a.tile
+    tile = spec_a.pad_tile
     xp = _pad_rows(x, tile)
     fwd_loss = _build_pair_loss_call(
         spec_a, spec_c, loss, xp.shape[0], interpret
@@ -758,15 +770,16 @@ def _row_spec(tile, dim):
 
 @functools.lru_cache(maxsize=None)
 def _build_calls(spec: EncoderSpec, s_padded: int, interpret: bool):
+    n_tiles_fwd = s_padded // spec.fwd_tile
     n_tiles = s_padded // spec.tile
 
     def fwd(x, *leaves):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, spec),
-            grid=(n_tiles,),
-            in_specs=[_row_spec(spec.tile, spec.obs_dim)]
+            grid=(n_tiles_fwd,),
+            in_specs=[_row_spec(spec.fwd_tile, spec.obs_dim)]
             + _const_specs(leaves),
-            out_specs=_row_spec(spec.tile, spec.head_dim),
+            out_specs=_row_spec(spec.fwd_tile, spec.head_dim),
             out_shape=jax.ShapeDtypeStruct(
                 (s_padded, spec.head_dim), jnp.float32
             ),
@@ -800,17 +813,19 @@ def _build_pair_calls(
 ):
     assert spec_a.groups == spec_b.groups and spec_a.tile == spec_b.tile
     tile = spec_a.tile
+    ftile = spec_a.fwd_tile
     n_tiles = s_padded // tile
+    n_tiles_fwd = s_padded // ftile
 
     def fwd(x, leaves_a, leaves_b):
         leaves = list(leaves_a) + list(leaves_b)
         return pl.pallas_call(
             functools.partial(_pair_fwd_kernel, spec_a, spec_b),
-            grid=(n_tiles,),
-            in_specs=[_row_spec(tile, spec_a.obs_dim)] + _const_specs(leaves),
+            grid=(n_tiles_fwd,),
+            in_specs=[_row_spec(ftile, spec_a.obs_dim)] + _const_specs(leaves),
             out_specs=[
-                _row_spec(tile, spec_a.head_dim),
-                _row_spec(tile, spec_b.head_dim),
+                _row_spec(ftile, spec_a.head_dim),
+                _row_spec(ftile, spec_b.head_dim),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((s_padded, spec_a.head_dim), jnp.float32),
@@ -858,7 +873,7 @@ def fused_encoder_head(spec: EncoderSpec, leaves, obs_packed):
     if not _on_tpu():
         return reference_apply(spec, leaves, obs_packed)
     s = obs_packed.shape[0]
-    x = _pad_rows(obs_packed, spec.tile)
+    x = _pad_rows(obs_packed, spec.pad_tile)
     fwd, _ = _build_calls(spec, x.shape[0], False)
     return fwd(x, *leaves)[:s]
 
@@ -875,8 +890,8 @@ def _vjp_bwd(spec, resids, dout):
         )
         return pullback(dout)[0], jnp.zeros_like(obs_packed)
     s = obs_packed.shape[0]
-    x = _pad_rows(obs_packed, spec.tile)
-    d = _pad_rows(dout.astype(jnp.float32), spec.tile)
+    x = _pad_rows(obs_packed, spec.pad_tile)
+    d = _pad_rows(dout.astype(jnp.float32), spec.pad_tile)
     _, bwd = _build_calls(spec, x.shape[0], False)
     dleaves = bwd(x, d, *leaves)
     dleaves = tuple(
@@ -924,9 +939,9 @@ def _pair_vjp_bwd(spec_a, spec_b, resids, douts):
         )
         return pba(dout_a)[0], pbb(dout_b)[0], jnp.zeros_like(obs_packed)
     s = obs_packed.shape[0]
-    x = _pad_rows(obs_packed, spec_a.tile)
-    da = _pad_rows(dout_a.astype(jnp.float32), spec_a.tile)
-    db = _pad_rows(dout_b.astype(jnp.float32), spec_a.tile)
+    x = _pad_rows(obs_packed, spec_a.pad_tile)
+    da = _pad_rows(dout_a.astype(jnp.float32), spec_a.pad_tile)
+    db = _pad_rows(dout_b.astype(jnp.float32), spec_a.pad_tile)
     _, bwd = _build_pair_calls(spec_a, spec_b, x.shape[0], False)
     dleaves = bwd(x, da, db, tuple(leaves_a), tuple(leaves_b))
     na = spec_a.n_leaves

@@ -80,7 +80,7 @@ def test_kernel_interpret_fwd_and_grads_match_reference():
     leaves = extract_leaves(spec, p, NAMES)
     x, _ = pack_obs(spec, obs, NAMES)
     s = x.shape[0]
-    pad = (-s) % spec.tile
+    pad = (-s) % spec.pad_tile
     xpad = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]))], 0)
     fwd, bwd = _build_calls(spec, xpad.shape[0], True)  # interpret mode
     out_k = fwd(xpad, *leaves)[:s]
@@ -121,7 +121,7 @@ def test_pair_kernel_interpret_matches_reference():
     lc = extract_leaves(spec_c, pc, NAMES)
     x, _ = pack_obs(spec_a, obs, NAMES)
     s = x.shape[0]
-    pad = (-s) % spec_a.tile
+    pad = (-s) % spec_a.pad_tile
     xpad = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]))], 0)
     fwd, bwd = _build_pair_calls(spec_a, spec_c, xpad.shape[0], True)
     out_a, out_c = fwd(xpad, la, lc)
