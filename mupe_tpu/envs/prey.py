@@ -65,9 +65,16 @@ def prey_force(
     inactive = (cylinder_pos[..., 2] < 0.0)[:, None, :]                   # [E,1,C]
     active_c = ((~inactive) & detect_c).astype(drone_pos.dtype)[..., None]
     dir_c = t_c_rpos / (d_c[..., None] + 1e-5)
-    force_c_xy = jnp.sum(
-        active_c * dir_c * (1.0 / (d_c_boundary[..., None] + 1e-5)), axis=2
-    )  # [E, 1, 2]
+    # d_c_boundary crosses zero when the evader stands ON the cylinder
+    # wall: unlike the strictly-positive denominators above, d_c_boundary
+    # + 1e-5 can be EXACTLY zero (observed once in ~10^12 f32 samples,
+    # NaN-collapsing a 275M-frame run: 1/0 = inf, then inf·0 for parked
+    # cylinders or inf/inf in prey_velocity = NaN).  Clamp the magnitude
+    # away from zero, keeping the sign (repulsion flips inward→outward
+    # exactly as the reference's unguarded 1/x does around the wall).
+    denom = d_c_boundary[..., None] + 1e-5
+    denom = jnp.where(jnp.abs(denom) < 1e-6, jnp.where(denom < 0, -1e-6, 1e-6), denom)
+    force_c_xy = jnp.sum(active_c * dir_c * (1.0 / denom), axis=2)  # [E, 1, 2]
     force = force + jnp.concatenate(
         [force_c_xy, jnp.zeros_like(force_c_xy[..., :1])], axis=-1
     )

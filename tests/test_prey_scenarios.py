@@ -44,6 +44,26 @@ def test_prey_wall_containment():
     assert float(f[0, 0, 0]) < 0.0  # pushed back toward center
 
 
+def test_prey_force_finite_on_cylinder_wall():
+    """Regression: an evader standing EXACTLY on a cylinder wall (d_c =
+    cylinder_size − 1e-5, making the repulsion denominator 0) must yield a
+    finite force and velocity.  The unguarded 1/x NaN-collapsed a
+    275M-frame training run (inf force → inf/inf in prey_velocity; for
+    parked cylinders inf·0)."""
+    size = 0.1
+    d = size - 1e-5  # denominator d_c − size + 1e-5 == 0 exactly
+    drone = jnp.asarray([[[5.0, 5.0, 0.6]]])  # far: no pursuer force
+    target = jnp.asarray([[[d, 0.0, 0.6]]])
+    # one active cylinder at origin + one parked (z < 0) at the same spot
+    cyl = jnp.asarray([[[0.0, 0.0, 0.6], [0.0, 0.0, -20.0]]])
+    f = prey_force(drone, target, cyl, size, 0.9, 1.2, 100.0)
+    assert np.all(np.isfinite(np.asarray(f)))
+    v = prey_velocity(f, 1.3)
+    assert np.all(np.isfinite(np.asarray(v)))
+    # and just inside the wall the evader is pushed back out (+x)
+    assert float(f[0, 0, 0]) != 0.0
+
+
 def test_prey_velocity_componentwise_quirk():
     f = jnp.asarray([[[3.0, -4.0, 0.001]]])
     v = prey_velocity(f, 1.3, componentwise=True)
