@@ -75,6 +75,13 @@ class HideAndSeekEnvgen(HideAndSeek):
     def __init__(self, cfg: HideAndSeekEnvgenCfg = HideAndSeekEnvgenCfg()):
         super().__init__(cfg)
         self.stat_keys = STAT_KEYS + ENVGEN_EXTRA_STATS
+        # the easy-case bootstrap runs the HOST-side C++ BFS generator —
+        # precompute it eagerly here so `reset` stays jit-safe (inside a
+        # trace the numpy round-trip would hit a tracer; init_carry jits
+        # reset)
+        self._easy_tasks = (
+            self._easy_history() if cfg.use_init_easy_cases else None
+        )
 
     # -------------------------------------------------------------- tasks
     def _tasks_to_scene(self, tasks: jnp.ndarray):
@@ -149,7 +156,7 @@ class HideAndSeekEnvgen(HideAndSeek):
         ).replace(eval_tasks=tasks)
         if cfg.use_init_easy_cases:
             gen = gen.replace(
-                history=self._easy_history(),
+                history=self._easy_tasks,
                 history_len=jnp.asarray(cfg.buffer_length, jnp.int32),
             )
         state = state.replace(gen=gen)

@@ -15,6 +15,11 @@ from mupe_tpu.harness import evaluate
 
 if __name__ == "__main__":
     base = [a for a in sys.argv[1:] if not a.startswith("env.scenario_flag")]
+    out_path = None
+    for a in list(base):
+        if a.startswith("out="):
+            out_path = a.split("=", 1)[1]
+            base.remove(a)
     results = {}
     for flag in EVAL_SCENARIOS:
         print(f"--- scenario: {flag}")
@@ -24,11 +29,19 @@ if __name__ == "__main__":
                 f"env.scenario_flag={flag}",
                 "env.use_random_cylinder=false",
                 "env.use_eval=true",
+                # the passage layout places 6 cylinders; obs (3-nearest)
+                # and TP input (use_obstacles_tp off) are unaffected, so
+                # trained checkpoints stay compatible
+                "env.max_cylinders=6",
             ]
         )
         results[flag] = {
             k: res[k]
-            for k in ("success", "first_capture_step", "collision")
+            for k in ("success", "first_capture_step", "collision",
+                      "target_predicted_error", "detect_reward")
             if k in res
         }
     print(json.dumps(results, indent=2))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)

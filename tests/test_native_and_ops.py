@@ -73,3 +73,27 @@ def test_fps_pallas_with_valid_mask(monkeypatch):
         fpsp.farthest_point_sampling_pallas.__wrapped__(pts, 8, valid=valid)
     )
     assert (idx < 16).all()
+
+
+def test_easy_cases_bootstrap_under_jitted_reset():
+    """Regression: use_init_easy_cases runs the host-side C++ BFS generator;
+    it must be precomputed at env construction, NOT inside `reset`, which
+    init_carry jits (a traced reset turned the numpy round-trip into a
+    TracerArrayConversionError and killed the AEG evidence run)."""
+    import jax
+    import numpy as np
+
+    from mupe_tpu.envs.hideandseek_envgen import (
+        HideAndSeekEnvgen,
+        HideAndSeekEnvgenCfg,
+    )
+
+    env = HideAndSeekEnvgen(
+        HideAndSeekEnvgenCfg(
+            num_envs=4, max_episode_length=16, use_init_easy_cases=True,
+            buffer_length=64,
+        )
+    )
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert int(state.gen.history_len) == 64
+    assert np.all(np.isfinite(np.asarray(state.gen.history)))
