@@ -63,10 +63,11 @@ _LN_EPS = 1e-6  # flax LayerNorm default
 
 # Row-tile sizes for the sample grid.  The BWD kernels' recompute working
 # set caps their tile at 512 (1024 needs 26.7 MB VMEM vs the 16 MB limit,
-# measured); the FWD kernels hold no residuals and can tile larger —
-# MUPE_FUSED_TILE_FWD=1024 halves their grid-step count (0 = same as tile).
+# measured); the FWD kernels hold no residuals and tile at 1024, halving
+# their grid-step count (bench.py: 779.8 K vs 771.8 K env-steps/s,
+# measured on-chip).  Set MUPE_FUSED_TILE_FWD=0 to tie fwd to `tile`.
 _DEFAULT_TILE = int(os.environ.get("MUPE_FUSED_TILE", "512"))
-_DEFAULT_TILE_FWD = int(os.environ.get("MUPE_FUSED_TILE_FWD", "0"))
+_DEFAULT_TILE_FWD = int(os.environ.get("MUPE_FUSED_TILE_FWD", "1024"))
 
 
 @dataclasses.dataclass(frozen=True)
