@@ -12,12 +12,19 @@ from flax import linen as nn
 
 
 class TPNet(nn.Module):
-    """LSTM encoder over the history window → tanh-normalized predictions."""
+    """LSTM encoder over the history window → tanh-normalized predictions.
+
+    The LSTM matmuls run in bfloat16 (params and the head stay float32):
+    the supervised update processes ~240 K windows per training iteration
+    and the matmul tower is its entire cost; tanh-bounded activations make
+    bf16 safe here, matching the policy trunks' precision policy.
+    """
 
     output_dim: int            # 3 * future_prediction_step
     hidden_dim: int = 64
     future_prediction_step: int = 5
     window_step: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -29,9 +36,10 @@ class TPNet(nn.Module):
         # loop from the enclosing rollout scan, which costs disproportionate
         # XLA compile time and serializes tiny matmuls at run time
         outs = nn.RNN(
-            nn.OptimizedLSTMCell(self.hidden_dim), unroll=16, name="lstm"
+            nn.OptimizedLSTMCell(self.hidden_dim, dtype=self.dtype),
+            unroll=16, name="lstm",
         )(xf)
-        last = outs[:, -1, :]
+        last = outs[:, -1, :].astype(jnp.float32)
         y = nn.Dense(self.output_dim, name="fc")(last)
         return jnp.tanh(y).reshape(batch_shape + (self.output_dim,))
 
