@@ -80,6 +80,12 @@ class MAPPOCfg:
     # glue total), so the in-kernel variant's extra output DMA doesn't pay
     # off.  Kept as a validated alternative; default off.
     use_inkernel_loss: bool = False
+    # use the fused pair kernel for rollout-time act() as well (one launch
+    # per env step for actor mean + value over the shared packed rows).
+    # Measured on-chip: 836.9K vs 838.0K env-steps/s — XLA's fused flax
+    # forward matches the kernel at rollout batch sizes (12K rows/step),
+    # so the simpler path stays default.
+    use_fused_act: bool = False
 
 
 class Actor(nn.Module):
@@ -367,6 +373,23 @@ class MAPPOPolicy:
         state=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Sample actions → (action, logp [...,n,1], value [...,n,1])."""
+        if (
+            self.cfg.use_fused_act
+            and state is None
+            and self.cfg.critic_input == "obs"
+            and self._fused_ok(obs)
+        ):
+            # one pair-kernel launch per env step instead of two ~60-op
+            # XLA forwards (actor + critic share the packed obs rows)
+            mean, value = self._fused_pair_apply(
+                ts.actor_params, ts.critic_params, obs
+            )
+            log_std = ts.actor_params["params"]["DiagGaussianHead_0"]["log_std"]
+            dist = Gaussian(
+                mean=mean, log_std=jnp.broadcast_to(log_std, mean.shape)
+            )
+            action = dist.mode if deterministic else dist.sample(key)
+            return action, dist.log_prob(action)[..., None], value
         dist = self._actor_dist(ts.actor_params, obs)
         action = dist.mode if deterministic else dist.sample(key)
         logp = dist.log_prob(action)[..., None]
