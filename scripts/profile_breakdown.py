@@ -194,6 +194,42 @@ def main():
         t_tp = timeit(tp_only, carry2.ts, rb, jax.random.PRNGKey(2))
         print(f"  TP update alone    {t_tp*1e3:8.1f} ms")
 
+    # ---- prep decomposition: GAE+norms, packing concat, bootstrap value
+    if "prep" in SECTIONS:
+        from mupe_tpu.learning.gae import compute_gae
+
+        @jax.jit
+        def prep_gae(ts, batch):
+            nv = policy.value_op(ts, carry2.obs, None, fused=True)
+            values = ts.value_norm.denormalize(batch["value"])
+            nv = ts.value_norm.denormalize(nv)
+            adv, ret = compute_gae(
+                batch["reward"], batch["done"][..., None, :], values, nv,
+                algo_cfg.gamma, algo_cfg.gae_lambda,
+            )
+            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+            vn = ts.value_norm.update(ret)
+            return vn.normalize(ret)[0, 0, 0] + adv[0, 0, 0]
+
+        t_prep = timeit(prep_gae, carry2.ts, batch)
+        print(f"  GAE+norms+bootstrap{t_prep*1e3:8.1f} ms")
+
+        @jax.jit
+        def prep_pack(batch):
+            flat = {
+                "obs": batch["obs"], "action": batch["action"],
+                "logp": batch["logp"], "value": batch["value"],
+                "advantages": batch["value"], "returns": batch["value"],
+            }
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((b,) + x.shape[2:]), flat
+            )
+            lv, _ = jax.tree_util.tree_flatten(flat)
+            return jnp.concatenate([l.reshape(b, -1) for l in lv], axis=1)[0, 0]
+
+        t_pack = timeit(prep_pack, batch)
+        print(f"  pack concat        {t_pack*1e3:8.1f} ms")
+
     # ---- bare pair kernel fwd+bwd (no gather, no optimizer)
     from mupe_tpu.ops.fused_encoder import (
         EncoderSpec, extract_leaves, fused_pair_encoder_head, pack_obs,
