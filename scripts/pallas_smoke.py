@@ -72,7 +72,7 @@ def main() -> int:
     }
     spec_a = EncoderSpec(groups=GROUPS, head_dim=4)
     spec_c = EncoderSpec(groups=GROUPS, head_dim=1)
-    print(f"rows={S} tile={spec_a.tile}")
+    print(f"rows={S} tile={spec_a.tile} fwd_tile={spec_a.fwd_tile}")
     actor = Actor(
         action_dim=4, hidden_units=(256,),
         attn_encoder="PartialAttentionEncoder", obs_is_dict=True,
