@@ -592,7 +592,8 @@ def _pair_fwd_loss_kernel(
     logp = jnp.sum(
         -0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI, axis=-1, keepdims=True
     )
-    ratio = jnp.exp(jnp.clip(logp - logp_old, -20.0, 20.0))  # inf guard
+    log_ratio = logp - logp_old
+    ratio = jnp.exp(jnp.clip(log_ratio, -20.0, 20.0))  # inf guard
     surr1 = ratio * adv
     surr2 = jnp.clip(ratio, 1.0 - eps, 1.0 + eps) * adv
     min12 = jnp.minimum(surr1, surr2)
@@ -600,8 +601,13 @@ def _pair_fwd_loss_kernel(
     g_ratio = adv * jnp.where(
         surr1 <= surr2, 1.0, in_clip.astype(jnp.float32)
     )
+    # exp(clip(.)) saturates: zero gradient outside (−20, 20), matching
+    # the autodiff semantics of the XLA path (clip has zero cotangent at
+    # the rails) — without this mask a saturated ratio emits a ~e^20-scale
+    # gradient, exactly the blow-up the clamp exists to prevent.
+    unsat = ((log_ratio > -20.0) & (log_ratio < 20.0)).astype(jnp.float32)
     # dL_policy/dlogp, with −mean(min·A) normalization folded in
-    dlogp = -(A * inv_s) * g_ratio * ratio * maskr      # [T, 1]
+    dlogp = -(A * inv_s) * g_ratio * ratio * maskr * unsat  # [T, 1]
     dmu = dlogp * z / sigma                             # [T, A]
 
     # ---- critic: clipped Huber, both branches (selection outside)
@@ -917,7 +923,9 @@ def fused_pair_encoder_head(
             reference_apply(spec_b, leaves_b, obs_packed),
         )
     s = obs_packed.shape[0]
-    x = _pad_rows(obs_packed, spec_a.tile)
+    # pad_tile (= max(tile, fwd_tile)): the fwd grid is s_padded // fwd_tile,
+    # so padding to the smaller `tile` can leave the tail rows unwritten.
+    x = _pad_rows(obs_packed, spec_a.pad_tile)
     fwd, _ = _build_pair_calls(spec_a, spec_b, x.shape[0], False)
     out_a, out_b = fwd(x, tuple(leaves_a), tuple(leaves_b))
     return out_a[:s], out_b[:s]

@@ -142,6 +142,74 @@ def test_pair_kernel_interpret_matches_reference():
         assert float(jnp.max(jnp.abs(a - b))) < 0.03 * scale + 1e-4
 
 
+def test_pair_public_entry_pad_grid_interaction(monkeypatch):
+    """The PUBLIC fused_pair_encoder_head (production padding logic) with a
+    row count that is a multiple of `tile` but NOT of `fwd_tile` (96 rows,
+    tile=32, fwd_tile=64).  Padding to `tile` instead of `pad_tile` here
+    leaves the fwd grid short one step and the tail rows uninitialized —
+    the round-3 advisor's high-severity finding.  Kernel path is forced via
+    interpret mode so this runs in CPU CI."""
+    import mupe_tpu.ops.fused_encoder as fe
+
+    monkeypatch.setattr(fe, "_on_tpu", lambda: True)
+    orig_pair = fe._build_pair_calls
+    monkeypatch.setattr(
+        fe,
+        "_build_pair_calls",
+        lambda sa, sb, sp, interp: orig_pair(sa, sb, sp, True),
+    )
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    s = 96  # 3*tile, 1.5*fwd_tile
+    obs = {
+        "state_self": jax.random.normal(ks[0], (s, 1, 35)),
+        "state_others": jax.random.normal(ks[1], (s, 2, 3)),
+        "cylinders": jax.random.normal(ks[2], (s, 3, 5)),
+    }
+    spec_a = EncoderSpec(
+        groups=((1, 35), (2, 3), (3, 5)), head_dim=4, tile=32, tile_fwd=64
+    )
+    spec_c = EncoderSpec(groups=spec_a.groups, head_dim=1, tile=32, tile_fwd=64)
+    actor = Actor(
+        action_dim=4, hidden_units=(256,),
+        attn_encoder="PartialAttentionEncoder", obs_is_dict=True,
+        dtype=jnp.bfloat16,
+    )
+    critic = Critic(
+        out_dim=1, hidden_units=(256,),
+        attn_encoder="PartialAttentionEncoder", obs_is_dict=True,
+        dtype=jnp.bfloat16,
+    )
+    pa = actor.init(ks[3], obs)
+    pc = critic.init(jax.random.PRNGKey(5), obs)
+    la = extract_leaves(spec_a, pa, NAMES)
+    lc = extract_leaves(spec_c, pc, NAMES)
+    x, _ = pack_obs(spec_a, obs, NAMES)
+
+    out_a, out_c = fe.fused_pair_encoder_head(spec_a, spec_c, la, lc, x)
+    ref_a = reference_apply(spec_a, la, x)
+    ref_c = reference_apply(spec_c, lc, x)
+    assert float(jnp.max(jnp.abs(out_a - ref_a))) < 5e-3
+    assert float(jnp.max(jnp.abs(out_c - ref_c))) < 5e-3
+
+    # and jax.grad through the public custom_vjp (exercises _pair_vjp_bwd)
+    def loss(leaves):
+        oa, oc = fe.fused_pair_encoder_head(spec_a, spec_c, leaves[0], leaves[1], x)
+        return jnp.sum(jnp.square(oa)) + jnp.sum(jnp.square(oc))
+
+    ga, gc = jax.grad(loss)((la, lc))
+    gr_a = jax.grad(
+        lambda lv: jnp.sum(jnp.square(reference_apply(spec_a, lv, x)))
+    )(la)
+    gr_c = jax.grad(
+        lambda lv: jnp.sum(jnp.square(reference_apply(spec_c, lv, x)))
+    )(lc)
+    for a, b in zip(tuple(ga) + tuple(gc), tuple(gr_a) + tuple(gr_c)):
+        scale = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) < 0.03 * scale + 1e-3
+
+
 def test_pair_custom_vjp_cpu_fallback():
     """fused_pair_encoder_head falls back to reference math off-TPU and its
     grads land in both param trees."""
@@ -215,6 +283,47 @@ def test_direct_grad_joint_update_matches_value_and_grad():
         # adam's m̂/√v̂ is ±1-ish at step one, so a bf16-noise-level grad
         # difference on a near-zero entry flips the sign of one lr-sized
         # step — bound is 2·lr, not grad tolerance
+        assert float(jnp.max(jnp.abs(pref - pdir))) < 2.5e-3
+
+
+def test_direct_grad_joint_update_matches_on_saturated_ratio():
+    """With |logp − logp_old| > 20 the log-ratio clamp saturates; autodiff
+    gives ZERO gradient through jnp.clip at the rails, and the in-kernel
+    hand gradient must mask the same way (round-3 advisor medium finding:
+    an unmasked saturated row emits a ~e^20-scale gradient)."""
+    from mupe_tpu.learning.mappo import MAPPOCfg, MAPPOPolicy
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 8)
+    mbn, n, a_dim = 20, 2, 4
+    obs = {
+        "state_self": jax.random.normal(ks[0], (mbn, n, 1, 35)),
+        "state_others": jax.random.normal(ks[1], (mbn, n, 2, 3)),
+        "cylinders": jax.random.normal(ks[2], (mbn, n, 3, 5)),
+    }
+    cfg = MAPPOCfg(use_tp_net=False)
+    policy = MAPPOPolicy(cfg, n_agents=n, action_dim=a_dim, obs_is_dict=True)
+    ts = policy.init(ks[3], jax.tree_util.tree_map(lambda x: x[:1], obs))
+    logp_old = jax.random.normal(ks[5], (mbn, n, 1)) * 0.2 - 5.5
+    # saturate a third of the rows in each direction
+    logp_old = logp_old.at[:6].add(40.0).at[-6:].add(-40.0)
+    mb = {
+        "obs": obs,
+        "action": jax.random.normal(ks[4], (mbn, n, a_dim)) * 0.5,
+        "logp": logp_old,
+        "advantages": jax.random.normal(ks[6], (mbn, n, 1)),
+        "value": jax.random.normal(ks[7], (mbn, n, 1)) * 0.3,
+        "returns": jax.random.normal(jax.random.PRNGKey(9), (mbn, n, 1)) * 0.3,
+    }
+    ts_ref, info_ref = policy._update_joint(ts, mb)
+    ts_dir, info_dir = policy._update_joint_direct(ts, mb, interpret=True)
+    for k in ("actor_grad_norm", "critic_grad_norm"):
+        ref, got = float(info_ref[k]), float(info_dir[k])
+        assert abs(ref - got) < 2e-3 * max(1.0, abs(ref)), (k, ref, got)
+    for pref, pdir in zip(
+        jax.tree_util.tree_leaves((ts_ref.actor_params, ts_ref.critic_params)),
+        jax.tree_util.tree_leaves((ts_dir.actor_params, ts_dir.critic_params)),
+    ):
         assert float(jnp.max(jnp.abs(pref - pdir))) < 2.5e-3
 
 
