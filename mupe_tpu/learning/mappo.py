@@ -86,6 +86,27 @@ class MAPPOCfg:
     # forward matches the kernel at rollout batch sizes (12K rows/step),
     # so the simpler path stays default.
     use_fused_act: bool = False
+    # ---- long-horizon safeguards (ALL opt-in; defaults preserve the
+    # reference's semantics, omni_drones/learning/mappo.py:271-324).
+    # Reproduction finding (round 3): BOTH billion-frame runs — flagship
+    # MAPPO and AEG — collapse under the reference's fixed
+    # entropy_coef=0.001 (entropy 5.6 → −1.2, success 0.35 → 0.05 after
+    # ~1B frames).  The reference never reports runs at that frame count.
+    # entropy_target: adapt the entropy coefficient toward this policy
+    # entropy (SAC-style dual ascent, multiplicative): coef grows when
+    # entropy < target, shrinks when above.
+    entropy_target: Optional[float] = None
+    entropy_adapt_speed: float = 0.02       # log-space step per train iter
+    entropy_coef_min: float = 1e-5
+    entropy_coef_max: float = 0.1
+    # target_kl: once a minibatch's approx KL (k3 estimator,
+    # mean(ratio−1−log ratio)) exceeds this, freeze actor+critic updates
+    # for the rest of the iteration (PPO early stop, Schulman's spinningup
+    # recipe).  Unsupported with use_inkernel_loss (no KL stat in-kernel).
+    target_kl: Optional[float] = None
+    # min_log_std: hard floor on the policy's log_std parameter, applied
+    # after every optimizer step — the bluntest collapse guard.
+    min_log_std: Optional[float] = None
 
 
 class Actor(nn.Module):
@@ -136,6 +157,9 @@ class MAPPOState:
     value_norm: ValueNorm1
     tp_params: Any = None
     tp_opt: Any = None
+    # scalar f32 — present only when cfg.entropy_target is set (adaptive
+    # entropy coefficient rides the carry so the whole run stays jitted)
+    entropy_coef: Any = None
 
 
 @struct.dataclass
@@ -272,7 +296,31 @@ class MAPPOPolicy:
             value_norm=ValueNorm1.create((1,), beta=self.cfg.value_norm_beta),
             tp_params=tp_params,
             tp_opt=tp_opt,
+            entropy_coef=(
+                jnp.asarray(self.cfg.entropy_coef, jnp.float32)
+                if self.cfg.entropy_target is not None
+                else None
+            ),
         )
+
+    # --------------------------------------------------------- safeguards
+    def _entropy_coef(self, ts: MAPPOState):
+        """Static cfg value, or the adaptive scalar from the train state."""
+        if self.cfg.entropy_target is not None:
+            return ts.entropy_coef
+        return self.cfg.entropy_coef
+
+    def _apply_log_std_floor(self, actor_params):
+        if self.cfg.min_log_std is None:
+            return actor_params
+        lo = self.cfg.min_log_std
+
+        def clamp(path, leaf):
+            if any(getattr(p, "key", None) == "log_std" for p in path):
+                return jnp.maximum(leaf, lo)
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(clamp, actor_params)
 
     # ------------------------------------------------------------------ fwd
     def _fused_ok(self, obs) -> bool:
@@ -465,7 +513,15 @@ class MAPPOPolicy:
                 off += sz
             return jax.tree_util.tree_unflatten(treedef, out)
 
-        def epoch_body(ts, ek):
+        use_kl_stop = cfg.target_kl is not None
+        if use_kl_stop and cfg.use_inkernel_loss:
+            raise ValueError(
+                "target_kl requires the value_and_grad paths (the in-kernel "
+                "loss emits no KL statistic)"
+            )
+
+        def epoch_body(carry, ek):
+            ts, stop = carry
             perm = jax.random.permutation(ek, b)[: mb_size * cfg.num_minibatches]
             mb_idx = perm.reshape(cfg.num_minibatches, mb_size)
 
@@ -473,24 +529,55 @@ class MAPPOPolicy:
                 self._fused_ok(batch.obs) and cfg.critic_input == "obs"
             )
 
-            def mb_body(ts, idx):
+            def mb_body(carry, idx):
+                ts, stop = carry
                 mb = unpack(packed[idx])
                 if use_joint and cfg.use_inkernel_loss:
-                    return self._update_joint_direct(ts, mb)
-                if use_joint:
-                    return self._update_joint(ts, mb)
-                ts, info_a = self._update_actor(ts, mb)
-                ts, info_c = self._update_critic(ts, mb)
-                return ts, {**info_a, **info_c}
+                    new_ts, info = self._update_joint_direct(ts, mb)
+                elif use_joint:
+                    new_ts, info = self._update_joint(ts, mb)
+                else:
+                    new_ts, info_a = self._update_actor(ts, mb)
+                    new_ts, info_c = self._update_critic(new_ts, mb)
+                    info = {**info_a, **info_c}
+                if use_kl_stop:
+                    # freeze actor+critic once any minibatch's KL crossed
+                    # the target (PPO early stop) — the scan shape stays
+                    # static, the extra minibatches become no-ops
+                    new_ts = jax.tree_util.tree_map(
+                        lambda old, new: jnp.where(stop, old, new), ts, new_ts
+                    )
+                    stop = jnp.logical_or(
+                        stop, info["approx_kl"] > cfg.target_kl
+                    )
+                    info = dict(info, kl_stop=stop.astype(jnp.float32))
+                return (new_ts, stop), info
 
-            return jax.lax.scan(mb_body, ts, mb_idx)
+            return jax.lax.scan(mb_body, (ts, stop), mb_idx)
 
-        ts, infos = jax.lax.scan(
-            epoch_body, ts, jax.random.split(key, cfg.ppo_epochs)
+        (ts, _), infos = jax.lax.scan(
+            epoch_body,
+            (ts, jnp.asarray(False)),
+            jax.random.split(key, cfg.ppo_epochs),
         )
         metrics.update(
             {k: jnp.mean(v) for k, v in infos.items()}
         )
+        if cfg.entropy_target is not None:
+            # dual ascent on the entropy coefficient: grow when the policy
+            # is below the target entropy, shrink above (multiplicative so
+            # the coefficient can traverse decades smoothly)
+            new_coef = jnp.clip(
+                ts.entropy_coef
+                * jnp.exp(
+                    cfg.entropy_adapt_speed
+                    * (cfg.entropy_target - jnp.mean(infos["entropy"]))
+                ),
+                cfg.entropy_coef_min,
+                cfg.entropy_coef_max,
+            )
+            ts = ts.replace(entropy_coef=new_coef)
+            metrics["entropy_coef"] = new_coef
         metrics["action_norm"] = jnp.mean(
             jnp.linalg.norm(batch.action, axis=-1)
         )
@@ -516,7 +603,7 @@ class MAPPOPolicy:
             surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv
             policy_loss = -jnp.mean(jnp.minimum(surr1, surr2) * self.action_dim)
             entropy_loss = -jnp.mean(entropy)
-            total = policy_loss + entropy_loss * cfg.entropy_coef
+            total = policy_loss + entropy_loss * self._entropy_coef(ts)
             return total, (policy_loss, entropy_loss, ratio)
 
         (_, (policy_loss, entropy_loss, ratio)), grads = jax.value_and_grad(
@@ -525,7 +612,9 @@ class MAPPOPolicy:
         updates, new_opt = self.actor_tx.update(
             grads, ts.actor_opt, ts.actor_params
         )
-        new_params = optax.apply_updates(ts.actor_params, updates)
+        new_params = self._apply_log_std_floor(
+            optax.apply_updates(ts.actor_params, updates)
+        )
         grad_norm = optax.global_norm(grads)
         w = ratio.reshape(-1)
         ess = jnp.square(jnp.sum(w)) / (jnp.sum(jnp.square(w)) * w.shape[0])
@@ -536,6 +625,7 @@ class MAPPOPolicy:
                 "actor_grad_norm": grad_norm,
                 "entropy": -entropy_loss,
                 "ESS": ess,
+                "approx_kl": jnp.mean(ratio - 1.0 - jnp.log(ratio)),
             },
         )
 
@@ -584,7 +674,11 @@ class MAPPOPolicy:
             explained_var = 1.0 - jnp.mean(
                 jnp.square(values - b_returns)
             ) / (jnp.var(b_returns) + 1e-8)
-            total = policy_loss + entropy_loss * cfg.entropy_coef + value_loss
+            total = (
+                policy_loss
+                + entropy_loss * self._entropy_coef(ts)
+                + value_loss
+            )
             return total, (
                 policy_loss, entropy_loss, ratio, value_loss, explained_var
             )
@@ -594,7 +688,9 @@ class MAPPOPolicy:
         )
         policy_loss, entropy_loss, ratio, value_loss, explained_var = aux
         upd_a, new_opt_a = self.actor_tx.update(ga, ts.actor_opt, ts.actor_params)
-        new_actor = optax.apply_updates(ts.actor_params, upd_a)
+        new_actor = self._apply_log_std_floor(
+            optax.apply_updates(ts.actor_params, upd_a)
+        )
         upd_c, new_opt_c = self.critic_tx.update(
             gc, ts.critic_opt, ts.critic_params
         )
@@ -616,6 +712,7 @@ class MAPPOPolicy:
                 "value_loss": value_loss,
                 "critic_grad_norm": optax.global_norm(gc),
                 "explained_var": explained_var,
+                "approx_kl": jnp.mean(ratio - 1.0 - jnp.log(ratio)),
             },
         )
 
@@ -666,13 +763,15 @@ class MAPPOPolicy:
         )
         # entropy bonus: state-independent Gaussian ⇒ its gradient wrt
         # log_std is the constant −entropy_coef per dim
-        dls = dls - cfg.entropy_coef
+        dls = dls - self._entropy_coef(ts)
         grads_a = rebuild_grads(spec_a, ts.actor_params, names, dla)
         grads_a["params"]["DiagGaussianHead_0"]["log_std"] = dls
         grads_c = rebuild_grads(spec_c, ts.critic_params, names, dlc)
 
         upd_a, new_opt_a = self.actor_tx.update(grads_a, ts.actor_opt, ts.actor_params)
-        new_actor = optax.apply_updates(ts.actor_params, upd_a)
+        new_actor = self._apply_log_std_floor(
+            optax.apply_updates(ts.actor_params, upd_a)
+        )
         upd_c, new_opt_c = self.critic_tx.update(grads_c, ts.critic_opt, ts.critic_params)
         new_critic = optax.apply_updates(ts.critic_params, upd_c)
 

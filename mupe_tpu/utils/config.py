@@ -19,6 +19,8 @@ T = TypeVar("T")
 
 
 def _coerce(value: str, target_type) -> Any:
+    if value.lower() in ("null", "none"):
+        return None
     if target_type is bool:
         return value.lower() in ("1", "true", "yes", "on")
     if target_type is int:
@@ -54,6 +56,20 @@ def apply_overrides(cfg: T, overrides: Dict[str, Any]) -> T:
         if isinstance(v, str):
             f = fields[k]
             base = f.type if isinstance(f.type, type) else type(getattr(cfg, k))
+            # Optional[...] fields defaulting to None leave `base` as
+            # NoneType; recover the intent from the annotation string
+            # (stringified under `from __future__ import annotations`)
+            if base is type(None) and not isinstance(f.type, type):
+                ann = str(f.type)
+                # container types first: "Tuple[float, float]" contains
+                # "float" but must keep the bracket-literal tuple path
+                for name, t in (
+                    ("Tuple", tuple), ("tuple", tuple), ("List", tuple),
+                    ("float", float), ("int", int), ("bool", bool),
+                ):
+                    if name in ann:
+                        base = t
+                        break
             try:
                 v = _coerce(v, base)
             except (ValueError, json.JSONDecodeError):
