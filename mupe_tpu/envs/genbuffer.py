@@ -40,6 +40,10 @@ class GenBufferState:
     weight_count: jnp.ndarray   # [] int32 — episodes accumulated
     update_iter: jnp.ndarray    # [] int32 — episode counter mod eval_iter
     ratio_unif: jnp.ndarray     # [] float — uniform-sampling mix ratio
+    # consecutive cycles with num_added == 0 (starvation detector — once
+    # on-policy success sinks below r_min, update_history ingests nothing
+    # and the curriculum stalls; observed in the r3 1.07B-frame extension)
+    dry_cycles: jnp.ndarray = None
 
     @classmethod
     def create(
@@ -53,6 +57,7 @@ class GenBufferState:
             weight_count=jnp.zeros((), jnp.int32),
             update_iter=jnp.zeros((), jnp.int32),
             ratio_unif=jnp.asarray(ratio_unif, jnp.float32),
+            dry_cycles=jnp.zeros((), jnp.int32),
         )
 
 

@@ -85,6 +85,26 @@ class HideAndSeekCfg:
     use_cl_spawn: bool = False
     cl_bound: int = 6
     height_bound: float = 0.5
+    # ---- eval-consistent exposure (round-4 addition; no reference
+    # counterpart).  Round-3 policies scored 0.0 on every fixed eval
+    # scenario while scoring 0.19-0.70 on their training distributions:
+    # the eval spawn tables cluster the pursuers in the far corner at
+    # x≈0.6-0.8 (hideandseek.py:632-682) — OUTSIDE the uniform training
+    # spawn box x∈[0.1, a−0.1] — and the wall/passage/gap cylinder
+    # layouts never arise from uniform sampling.  These ratios mix that
+    # geometry into training resets:
+    # eval_spawn_ratio: fraction of envs re-spawned on a (randomly chosen)
+    # eval scenario's FIXED drone/target spawn table, keeping random
+    # cylinders; applied before cylinder sampling so layouts stay
+    # spawn-avoiding and path-feasible.
+    eval_spawn_ratio: float = 0.0
+    # eval_scenario_ratio: fraction of envs replaced by a COMPLETE fixed
+    # scenario instance (cylinder layout + matching spawn table).
+    eval_scenario_ratio: float = 0.0
+    # random yaw rotation of the mixed-in geometry about the arena center
+    # (the arena is rotationally symmetric; exposure teaches the approach
+    # pattern rather than absolute coordinates)
+    eval_mix_rotate: bool = True
     # TP net (HideAndSeek.yaml:30-34)
     use_tp_net: bool = True
     history_step: int = 10
@@ -138,6 +158,7 @@ STAT_KEYS = (
     "target_predicted_error",
     "out_of_arena",
     "smoothness_coef",
+    "scene_fallback",
 )
 
 # stats divided by episode length at done (hideandseek.py:1017-1056)
@@ -217,12 +238,54 @@ class HideAndSeek:
             d, t = scenario_spawns(cfg.scenario_flag, cfg.num_agents)
             self._spawn_drone = jnp.asarray(d)
             self._spawn_target = jnp.asarray(t)
+        if cfg.eval_spawn_ratio > 0.0 or cfg.eval_scenario_ratio > 0.0:
+            if cfg.num_agents > 4:
+                raise ValueError(
+                    "eval spawn/scenario mixing needs the 4-slot fixed "
+                    f"spawn tables; got num_agents={cfg.num_agents}"
+                )
+            from .scenarios import EVAL_SCENARIOS
+
+            # spawn tables: all scenarios (spawns need no cylinder capacity)
+            d_tabs, t_tabs = [], []
+            for f in EVAL_SCENARIOS:
+                d, t = scenario_spawns(f, cfg.num_agents)
+                d_tabs.append(d)
+                t_tabs.append(t)
+            self._mix_spawn_d = jnp.asarray(np.stack(d_tabs))  # [S, n, 3]
+            self._mix_spawn_t = jnp.asarray(np.stack(t_tabs))  # [S, 1, 3]
+            # full-scenario tables: only layouts that fit num_cylinders
+            # (passage/random need 6 active; default capacity is 5)
+            fd, ft, fc, names = [], [], [], []
+            for f in EVAL_SCENARIOS:
+                try:
+                    c, _ = scenario_cylinders(
+                        f, cfg.num_cylinders, cfg.cylinder_size, cfg.max_height
+                    )
+                except ValueError:
+                    continue
+                d, t = scenario_spawns(f, cfg.num_agents)
+                fd.append(d)
+                ft.append(t)
+                fc.append(c)
+                names.append(f)
+            self._mix_full_scenarios = tuple(names)
+            self._mix_full_d = jnp.asarray(np.stack(fd))  # [S', n, 3]
+            self._mix_full_t = jnp.asarray(np.stack(ft))  # [S', 1, 3]
+            self._mix_full_cyl = jnp.asarray(np.stack(fc))  # [S', C, 3]
 
     @property
     def num_envs(self) -> int:
         return self.cfg.num_envs
 
     # ------------------------------------------------------------- sampling
+    @staticmethod
+    def _rot_xy(p: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+        """Yaw-rotate [..., 3] points about the arena center (z kept)."""
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        return jnp.stack([c * x - s * y, s * x + c * y, z], axis=-1)
+
     def _sample_scene(self, key: jnp.ndarray):
         """Spawn poses + cylinder layout for all envs
         (hideandseek.py:609-708)."""
@@ -281,6 +344,38 @@ class HideAndSeek:
             drone_pos = jnp.broadcast_to(self._spawn_drone, (e, n, 3))
             target_pos = jnp.broadcast_to(self._spawn_target, (e, 1, 3))
 
+        train_mode = cfg.use_random_cylinder and not cfg.use_eval
+        mixing = train_mode and (
+            cfg.eval_spawn_ratio > 0.0 or cfg.eval_scenario_ratio > 0.0
+        )
+        if mixing:
+            # fold_in rather than widening the 6-way split so default-config
+            # RNG streams (and their goldens) are untouched
+            km = jax.random.split(jax.random.fold_in(key, 101), 6)
+            n_tab = self._mix_spawn_d.shape[0]
+
+            def mix_theta(k):
+                if cfg.eval_mix_rotate:
+                    return jax.random.uniform(
+                        k, (e, 1), minval=0.0, maxval=2.0 * jnp.pi
+                    )
+                return jnp.zeros((e, 1))
+
+        if mixing and cfg.eval_spawn_ratio > 0.0:
+            # fixed eval spawn tables (random scenario choice per env),
+            # BEFORE cylinder sampling so layouts avoid the new spawns and
+            # the path-feasibility redraw sees the real geometry
+            which = jax.random.randint(km[0], (e,), 0, n_tab)
+            theta = mix_theta(km[1])
+            d_fix = self._rot_xy(self._mix_spawn_d[which], theta)
+            t_fix = self._rot_xy(self._mix_spawn_t[which], theta)
+            m = (
+                jax.random.uniform(km[2], (e, 1, 1))
+                < cfg.eval_spawn_ratio
+            )
+            drone_pos = jnp.where(m, d_fix, drone_pos)
+            target_pos = jnp.where(m, t_fix, target_pos)
+
         if cfg.use_eval:
             rpy = jnp.zeros((e, n, 3))
         else:
@@ -332,6 +427,10 @@ class HideAndSeek:
                 retry, (xy, active, ok), retry_keys
             )
             active = jnp.where(ok[:, None], active, 0)
+            # envs that exhausted scene_redraws fall back to ZERO active
+            # cylinders — observable via the scene_fallback stat so a
+            # silent difficulty shift toward empty arenas can't hide
+            fallback = (~ok).astype(jnp.float32)
             z = jnp.where(
                 idx < active, 0.5 * cfg.max_height, INVALID_Z
             )[..., None]
@@ -340,18 +439,45 @@ class HideAndSeek:
             cylinders = jnp.broadcast_to(
                 self._scenario_cyl, (e, cfg.num_cylinders, 3)
             )
-        return drone_pos, quat, target_pos, cylinders
+            fallback = jnp.zeros((e,))
+
+        if mixing and cfg.eval_scenario_ratio > 0.0:
+            # complete fixed scenario instances: cylinder layout + matching
+            # spawn table, rotated together (overrides the spawn mix and
+            # the sampled cylinders on the selected envs; the layouts are
+            # feasible by construction)
+            which2 = jax.random.randint(
+                km[3], (e,), 0, self._mix_full_d.shape[0]
+            )
+            theta2 = mix_theta(km[4])
+            d_fix = self._rot_xy(self._mix_full_d[which2], theta2)
+            t_fix = self._rot_xy(self._mix_full_t[which2], theta2)
+            cyl_fix = self._rot_xy(self._mix_full_cyl[which2], theta2)
+            m2 = (
+                jax.random.uniform(km[5], (e, 1, 1))
+                < cfg.eval_scenario_ratio
+            )
+            drone_pos = jnp.where(m2, d_fix, drone_pos)
+            target_pos = jnp.where(m2, t_fix, target_pos)
+            cylinders = jnp.where(m2, cyl_fix, cylinders)
+            fallback = jnp.where(m2[:, 0, 0], 0.0, fallback)
+        return drone_pos, quat, target_pos, cylinders, fallback
 
     def _fresh(self, key: jnp.ndarray, v_prey, update_epoch) -> HideAndSeekState:
         cfg = self.cfg
         e, n = cfg.num_envs, cfg.num_agents
         k_scene, k_next = jax.random.split(key)
-        drone_pos, quat, target_pos, cylinders = self._sample_scene(k_scene)
+        drone_pos, quat, target_pos, cylinders, fallback = self._sample_scene(
+            k_scene
+        )
         drone = hover_state(self.params, drone_pos, quat)
         stats = {k: jnp.zeros((e, 1)) for k in STAT_KEYS}
         stats["first_capture_step"] = jnp.full(
             (e, 1), float(cfg.max_episode_length)
         )
+        # constant over the episode; harvested at done ⇒ mean = the ratio
+        # of envs that exhausted scene_redraws and got an empty arena
+        stats["scene_fallback"] = fallback[:, None]
         state = HideAndSeekState(
             drone=drone,
             pid=PIDRateState.zeros((e, n)),

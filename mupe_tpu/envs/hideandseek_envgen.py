@@ -56,6 +56,16 @@ class HideAndSeekEnvgenCfg(HideAndSeekCfg):
     r_min: float = 0.5
     r_max: float = 0.9
     buffer_length: int = 5000
+    # ---- starvation fallback (round-4; mirrors the success_threshold
+    # fallback of hideandseek_envgen.py:1302-1304 in the opposite
+    # direction).  The r3 1.07B-frame extension stalled once success sank
+    # below r_min: update_history then ingests ~nothing and the buffer
+    # replays the same stale tasks forever.  After `starve_cycles`
+    # consecutive zero-ingestion cycles, the effective uniform mix is
+    # raised to `starve_ratio_unif` (easier on-average tasks → success
+    # recovers → ingestion resumes → boost lifts).  0 disables.
+    starve_cycles: int = 0
+    starve_ratio_unif: float = 1.0
 
     @property
     def task_dim(self) -> int:
@@ -63,9 +73,18 @@ class HideAndSeekEnvgenCfg(HideAndSeekCfg):
         return 3 * self.num_agents + 3 + 3 * self.num_cylinders
 
 
-ENVGEN_EXTRA_STATS = ("add_history", "history_buffer", "ratio_unif") + tuple(
-    f"ratio_cylinders_{i}" for i in range(6)
-) + tuple(f"success_cylinders_{i}" for i in range(6))
+def envgen_extra_stats(num_cylinders: int):
+    """Per-instance stat keys: the cylinder strata run 0..num_cylinders
+    inclusive (matching _auto_reset), not a fixed 0..5."""
+    return (
+        ("add_history", "history_buffer", "ratio_unif", "dry_cycles")
+        + tuple(f"ratio_cylinders_{i}" for i in range(num_cylinders + 1))
+        + tuple(f"success_cylinders_{i}" for i in range(num_cylinders + 1))
+    )
+
+
+# default-capacity keys (num_cylinders=5) for backwards compatibility
+ENVGEN_EXTRA_STATS = envgen_extra_stats(5)
 
 
 @register_env("HideAndSeek_envgen")
@@ -74,7 +93,8 @@ class HideAndSeekEnvgen(HideAndSeek):
 
     def __init__(self, cfg: HideAndSeekEnvgenCfg = HideAndSeekEnvgenCfg()):
         super().__init__(cfg)
-        self.stat_keys = STAT_KEYS + ENVGEN_EXTRA_STATS
+        self._extra_stats = envgen_extra_stats(cfg.num_cylinders)
+        self.stat_keys = STAT_KEYS + self._extra_stats
         # the easy-case bootstrap runs the HOST-side C++ BFS generator —
         # precompute it eagerly here so `reset` stays jit-safe (inside a
         # trace the numpy round-trip would hit a tracer; init_carry jits
@@ -108,7 +128,7 @@ class HideAndSeekEnvgen(HideAndSeek):
     def _uniform_tasks(self, key: jnp.ndarray) -> jnp.ndarray:
         """Uniform task sampling (hideandseek_envgen.py:860-873) — reuses the
         base scene sampler."""
-        drone_pos, _, target_pos, cylinders = self._sample_scene(key)
+        drone_pos, _, target_pos, cylinders, _ = self._sample_scene(key)
         return self._scene_to_tasks(drone_pos, target_pos, cylinders)
 
     def _easy_history(self, seed: int = 0) -> jnp.ndarray:
@@ -225,6 +245,23 @@ class HideAndSeekEnvgen(HideAndSeek):
         update_iter = jnp.where(cycle_done, 0, update_iter)
         gb = gb.replace(update_iter=update_iter)
 
+        # starvation fallback: count consecutive zero-ingestion cycles and
+        # boost the uniform mix while starving (see HideAndSeekEnvgenCfg)
+        if cfg.starve_cycles > 0:
+            dry = jnp.where(
+                cycle_done,
+                jnp.where(num_added > 0, 0, gb.dry_cycles + 1),
+                gb.dry_cycles,
+            ).astype(jnp.int32)
+            gb = gb.replace(dry_cycles=dry)
+            eff_ratio = jnp.where(
+                dry >= cfg.starve_cycles,
+                jnp.maximum(gb.ratio_unif, cfg.starve_ratio_unif),
+                gb.ratio_unif,
+            )
+        else:
+            eff_ratio = gb.ratio_unif
+
         # fresh state via the parent (new attitudes, throttle, stats, …)
         new_state = super()._auto_reset(mid, st, done_env, key)
 
@@ -234,7 +271,7 @@ class HideAndSeekEnvgen(HideAndSeek):
         )
         num_buffer = jnp.minimum(
             gb.history_len,
-            (e * (1.0 - gb.ratio_unif)).astype(jnp.int32),
+            (e * (1.0 - eff_ratio)).astype(jnp.int32),
         )
 
         def resample(g):
@@ -285,10 +322,11 @@ class HideAndSeekEnvgen(HideAndSeek):
             stats[f"success_cylinders_{i}"] = ones * succ_i
         stats["add_history"] = ones * num_added
         stats["history_buffer"] = ones * gb.history_len.astype(jnp.float32)
-        stats["ratio_unif"] = ones * gb.ratio_unif
+        stats["ratio_unif"] = ones * eff_ratio  # effective (incl. starvation boost)
+        stats["dry_cycles"] = ones * gb.dry_cycles.astype(jnp.float32)
         return new_state.replace(stats=stats, gen=gb)
 
     def _fresh(self, key, v_prey, update_epoch):
         state = super()._fresh(key, v_prey, update_epoch)
-        extra = {k: jnp.zeros((self.cfg.num_envs, 1)) for k in ENVGEN_EXTRA_STATS}
+        extra = {k: jnp.zeros((self.cfg.num_envs, 1)) for k in self._extra_stats}
         return state.replace(stats={**state.stats, **extra})

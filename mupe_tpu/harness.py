@@ -292,8 +292,15 @@ def _make_eval_prog(
         _, out = jax.lax.scan(eval_step, init, None, length=length)
         done, stats = out[0], out[1]
         n_done = jnp.sum(done)
+        # no finished episode ⇒ the stats are undefined: emit NaN rather
+        # than a silent 0.0 (round-3 advisor finding — a 0.0 success from
+        # an eval where nothing terminated reads as a real result)
         ep_stats = {
-            k: jnp.sum(v * done) / jnp.clip(n_done, 1, None)
+            k: jnp.where(
+                n_done > 0,
+                jnp.sum(v * done) / jnp.clip(n_done, 1, None),
+                jnp.nan,
+            )
             for k, v in stats.items()
         }
         ep_stats["episode_count"] = n_done
@@ -621,10 +628,16 @@ def evaluate(argv: Sequence[str]) -> Dict[str, float]:
         _, (dones, stats) = run_episode(carry)
     dones = np.asarray(dones)  # [T, E, 1]
     n_done = dones.sum()
+    if n_done == 0:
+        # stats would be meaningless 0.0s — say so loudly (advisor r3)
+        print(
+            "WARNING: no episode finished within max_episode_length; "
+            "episode stats are undefined (reported as nan)"
+        )
     result = {}
     for k, v in stats.items():
         v = np.asarray(v)
-        result[k] = float((v * dones).sum() / max(n_done, 1))
+        result[k] = float((v * dones).sum() / max(n_done, 1)) if n_done else float("nan")
     result["episodes"] = float(n_done)
     for k in sorted(result):
         print(f"{k}: {result[k]:.4f}")

@@ -214,7 +214,7 @@ def test_sampled_scenes_always_feasible():
     cfg = HideAndSeekCfg(num_envs=512, use_cl_spawn=True, cl_bound=3)
     env = HideAndSeek(cfg)
     for seed in (0, 1):
-        d, _, t, cyl = jax.jit(env._sample_scene)(jax.random.PRNGKey(seed))
+        d, _, t, cyl, _fb = jax.jit(env._sample_scene)(jax.random.PRNGKey(seed))
         ok = feasible_layout(
             d[..., :2], t[..., :2], cyl[..., :2], cyl[..., 2] > 0.0, env.grid
         )
