@@ -86,6 +86,13 @@ class MAPPOCfg:
     # forward matches the kernel at rollout batch sizes (12K rows/step),
     # so the simpler path stays default.
     use_fused_act: bool = False
+    # emit the rollout scan's per-step outputs directly as packed wide
+    # rows ([T·E, D] with reserved advantage/return lanes filled in after
+    # GAE) so train_op's big pack-concat disappears and each minibatch is
+    # a row gather + free lane slices — no unpack→pack_obs roundtrip.
+    # Semantics identical (parity-tested); applies under the same
+    # conditions as the fused joint update.
+    pack_rollout: bool = True
     # ---- long-horizon safeguards (ALL opt-in; defaults preserve the
     # reference's semantics, omni_drones/learning/mappo.py:271-324).
     # Reproduction finding (round 3): BOTH billion-frame runs — flagship
@@ -166,9 +173,9 @@ class MAPPOState:
 class RolloutBatch:
     """Time-major trajectory batch: leaves are [T, E, ...]."""
 
-    obs: Any                    # pytree; leaves [T, E, n, ...]
-    action: jnp.ndarray         # [T, E, n, A]
-    logp: jnp.ndarray           # [T, E, n, 1]
+    obs: Any                    # pytree; leaves [T, E, n, ...] (None if packed)
+    action: jnp.ndarray         # [T, E, n, A] (None if packed)
+    logp: jnp.ndarray           # [T, E, n, 1] (None if packed)
     value: jnp.ndarray          # [T, E, n, 1]
     reward: jnp.ndarray         # [T, E, n, 1]
     done: jnp.ndarray           # [T, E, 1]
@@ -178,6 +185,91 @@ class RolloutBatch:
     tp_input: Any = None        # [T, E, H, F]
     tp_gt: Any = None           # [T, E, 3] normalized ground truth
     tp_done: Any = None         # [T, E, 1] validity (hideandseek.py:838)
+    # pre-packed wide rows [T, E, D] (cfg.pack_rollout; layout per PackMeta)
+    packed: Any = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PackMeta:
+    """Static lane layout of one packed rollout row (one (t, env) sample).
+
+    [ obs: n_agents × (entity groups in entity_group_order) | action n·A |
+      logp n | value n | advantages n | returns n ] — obs lanes first and
+    agent-major so `rows[:, :obs_cols].reshape(m·n, obs_dim)` is exactly the
+    `pack_obs` layout the fused kernels consume, with zero data movement.
+    """
+
+    names: Tuple[str, ...]
+    groups: Tuple[Tuple[int, int], ...]   # (tokens, feat) per entity group
+    n_agents: int
+    action_dim: int
+
+    @property
+    def obs_dim(self) -> int:
+        return sum(k * d for k, d in self.groups)
+
+    @property
+    def obs_cols(self) -> int:
+        return self.n_agents * self.obs_dim
+
+    @property
+    def off_action(self) -> int:
+        return self.obs_cols
+
+    @property
+    def off_logp(self) -> int:
+        return self.off_action + self.n_agents * self.action_dim
+
+    @property
+    def off_value(self) -> int:
+        return self.off_logp + self.n_agents
+
+    @property
+    def off_adv(self) -> int:
+        return self.off_value + self.n_agents
+
+    @property
+    def off_ret(self) -> int:
+        return self.off_adv + self.n_agents
+
+    @property
+    def total(self) -> int:
+        return self.off_ret + self.n_agents
+
+
+def compute_pack_meta(obs_example, n_agents: int, action_dim: int) -> PackMeta:
+    """Derive the packed-row layout from an obs pytree example (leaves
+    [..., n, tokens, feat]).  Deterministic: rollout and update sides
+    compute identical metas from the same obs structure."""
+    from .modules.networks import entity_group_order
+
+    names = tuple(entity_group_order(obs_example.keys()))
+    groups = tuple(
+        (obs_example[n].shape[-2], obs_example[n].shape[-1]) for n in names
+    )
+    return PackMeta(
+        names=names, groups=groups, n_agents=n_agents, action_dim=action_dim
+    )
+
+
+def pack_rollout_row(
+    meta: PackMeta, obs, action, logp, value
+) -> jnp.ndarray:
+    """One step's fields → [E, total] wide rows (adv/ret lanes zeroed)."""
+    e = action.shape[0]
+    n = meta.n_agents
+    parts = [obs[nm].reshape(e, n, -1) for nm in meta.names]
+    x = jnp.concatenate(parts, axis=-1).reshape(e, meta.obs_cols)
+    return jnp.concatenate(
+        [
+            x,
+            action.reshape(e, -1).astype(jnp.float32),
+            logp.reshape(e, -1).astype(jnp.float32),
+            value.reshape(e, -1).astype(jnp.float32),
+            jnp.zeros((e, 2 * n), jnp.float32),
+        ],
+        axis=-1,
+    )
 
 
 class MAPPOPolicy:
@@ -323,6 +415,18 @@ class MAPPOPolicy:
         return jax.tree_util.tree_map_with_path(clamp, actor_params)
 
     # ------------------------------------------------------------------ fwd
+    def pack_meta_for(self, obs) -> Optional[PackMeta]:
+        """PackMeta when the packed-rollout path applies (same conditions
+        as the fused joint update: dict obs, shared actor, per-agent
+        critic), else None."""
+        if (
+            self.cfg.pack_rollout
+            and self.cfg.critic_input == "obs"
+            and self._fused_ok(obs)
+        ):
+            return compute_pack_meta(obs, self.n_agents, self.action_dim)
+        return None
+
     def _fused_ok(self, obs) -> bool:
         """Whether the Pallas fused encoder applies to this configuration."""
         return (
@@ -376,6 +480,30 @@ class MAPPOPolicy:
         out_a, out_c = fused_pair_encoder_head(
             spec_a, spec_c, leaves_a, leaves_c, x
         )
+        return (
+            out_a.reshape(lead + (self.action_dim,)),
+            out_c.reshape(lead + (1,)),
+        )
+
+    def _fused_pair_apply_rows(
+        self, actor_params, critic_params, x, meta: PackMeta, m: int
+    ):
+        """Pair forward over PRE-PACKED obs rows (cfg.pack_rollout): the
+        minibatch lane slice is already in pack_obs layout, so no concat."""
+        from ..ops.fused_encoder import (
+            EncoderSpec,
+            extract_leaves,
+            fused_pair_encoder_head,
+        )
+
+        spec_a = EncoderSpec(groups=meta.groups, head_dim=self.action_dim)
+        spec_c = EncoderSpec(groups=meta.groups, head_dim=1)
+        leaves_a = extract_leaves(spec_a, actor_params, meta.names)
+        leaves_c = extract_leaves(spec_c, critic_params, meta.names)
+        out_a, out_c = fused_pair_encoder_head(
+            spec_a, spec_c, leaves_a, leaves_c, x
+        )
+        lead = (m, meta.n_agents)
         return (
             out_a.reshape(lead + (self.action_dim,)),
             out_c.reshape(lead + (1,)),
@@ -480,38 +608,83 @@ class MAPPOPolicy:
             metrics.update(tp_metrics)
 
         # ---------------- PPO epochs over shuffled minibatches
-        flat = {
-            "obs": batch.obs,
-            "action": batch.action,
-            "logp": batch.logp,
-            "value": batch.value,
-            "advantages": advantages,
-            "returns": returns,
-        }
-        if cfg.critic_input == "state":
-            flat["state"] = batch.state
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((t_len * e,) + x.shape[2:]), flat
-        )
         b = t_len * e
         mb_size = b // cfg.num_minibatches
+        pack_meta = None
+        if batch.packed is not None:
+            # rollout already emitted packed rows; fill the reserved
+            # advantage/return lanes in place (XLA aliases the updates —
+            # no buffer-sized copy) and slice minibatches lane-wise
+            pack_meta = compute_pack_meta(
+                batch.last_obs, self.n_agents, self.action_dim
+            )
+            n = pack_meta.n_agents
+            packed = batch.packed.reshape(b, pack_meta.total)
+            packed = packed.at[
+                :, pack_meta.off_adv : pack_meta.off_adv + n
+            ].set(advantages.reshape(b, n))
+            packed = packed.at[
+                :, pack_meta.off_ret : pack_meta.off_ret + n
+            ].set(returns.reshape(b, n))
 
-        # Pack every per-sample field into ONE [B, D] buffer so each
-        # minibatch is a single wide-row gather.  Separate narrow gathers
-        # (rows of 1-35 floats) are scalar-core bound on TPU and cost ~75ms
-        # per epoch at this batch size; one 128+-lane-wide row gather is
-        # DMA-efficient (~2000x faster, measured).
-        leaves, treedef = jax.tree_util.tree_flatten(flat)
-        sizes = [int(np.prod(l.shape[1:])) for l in leaves]
-        shapes = [l.shape[1:] for l in leaves]
-        packed = jnp.concatenate([l.reshape(b, -1) for l in leaves], axis=1)
+            def unpack(rows):
+                m = rows.shape[0]
+                pm = pack_meta
+                return {
+                    # pack_obs layout rows, fed straight to the kernels
+                    "obs_rows": rows[:, : pm.obs_cols].reshape(
+                        m * n, pm.obs_dim
+                    ),
+                    "action": rows[
+                        :, pm.off_action : pm.off_action + n * pm.action_dim
+                    ].reshape(m, n, pm.action_dim),
+                    "logp": rows[:, pm.off_logp : pm.off_logp + n].reshape(
+                        m, n, 1
+                    ),
+                    "value": rows[:, pm.off_value : pm.off_value + n].reshape(
+                        m, n, 1
+                    ),
+                    "advantages": rows[
+                        :, pm.off_adv : pm.off_adv + n
+                    ].reshape(m, n, 1),
+                    "returns": rows[:, pm.off_ret : pm.off_ret + n].reshape(
+                        m, n, 1
+                    ),
+                }
 
-        def unpack(rows):
-            out, off = [], 0
-            for sz, shp in zip(sizes, shapes):
-                out.append(rows[:, off : off + sz].reshape((rows.shape[0],) + shp))
-                off += sz
-            return jax.tree_util.tree_unflatten(treedef, out)
+        else:
+            flat = {
+                "obs": batch.obs,
+                "action": batch.action,
+                "logp": batch.logp,
+                "value": batch.value,
+                "advantages": advantages,
+                "returns": returns,
+            }
+            if cfg.critic_input == "state":
+                flat["state"] = batch.state
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((t_len * e,) + x.shape[2:]), flat
+            )
+
+            # Pack every per-sample field into ONE [B, D] buffer so each
+            # minibatch is a single wide-row gather.  Separate narrow gathers
+            # (rows of 1-35 floats) are scalar-core bound on TPU and cost ~75ms
+            # per epoch at this batch size; one 128+-lane-wide row gather is
+            # DMA-efficient (~2000x faster, measured).
+            leaves, treedef = jax.tree_util.tree_flatten(flat)
+            sizes = [int(np.prod(l.shape[1:])) for l in leaves]
+            shapes = [l.shape[1:] for l in leaves]
+            packed = jnp.concatenate([l.reshape(b, -1) for l in leaves], axis=1)
+
+            def unpack(rows):
+                out, off = [], 0
+                for sz, shp in zip(sizes, shapes):
+                    out.append(
+                        rows[:, off : off + sz].reshape((rows.shape[0],) + shp)
+                    )
+                    off += sz
+                return jax.tree_util.tree_unflatten(treedef, out)
 
         use_kl_stop = cfg.target_kl is not None
         if use_kl_stop and cfg.use_inkernel_loss:
@@ -525,7 +698,7 @@ class MAPPOPolicy:
             perm = jax.random.permutation(ek, b)[: mb_size * cfg.num_minibatches]
             mb_idx = perm.reshape(cfg.num_minibatches, mb_size)
 
-            use_joint = (
+            use_joint = pack_meta is not None or (
                 self._fused_ok(batch.obs) and cfg.critic_input == "obs"
             )
 
@@ -533,9 +706,13 @@ class MAPPOPolicy:
                 ts, stop = carry
                 mb = unpack(packed[idx])
                 if use_joint and cfg.use_inkernel_loss:
-                    new_ts, info = self._update_joint_direct(ts, mb)
+                    new_ts, info = self._update_joint_direct(
+                        ts, mb, pack_meta=pack_meta
+                    )
                 elif use_joint:
-                    new_ts, info = self._update_joint(ts, mb)
+                    new_ts, info = self._update_joint(
+                        ts, mb, pack_meta=pack_meta
+                    )
                 else:
                     new_ts, info_a = self._update_actor(ts, mb)
                     new_ts, info_c = self._update_critic(new_ts, mb)
@@ -578,9 +755,19 @@ class MAPPOPolicy:
             )
             ts = ts.replace(entropy_coef=new_coef)
             metrics["entropy_coef"] = new_coef
-        metrics["action_norm"] = jnp.mean(
-            jnp.linalg.norm(batch.action, axis=-1)
-        )
+        if pack_meta is not None:
+            act_lanes = packed[
+                :,
+                pack_meta.off_action : pack_meta.off_action
+                + pack_meta.n_agents * pack_meta.action_dim,
+            ].reshape(b, pack_meta.n_agents, pack_meta.action_dim)
+            metrics["action_norm"] = jnp.mean(
+                jnp.linalg.norm(act_lanes, axis=-1)
+            )
+        else:
+            metrics["action_norm"] = jnp.mean(
+                jnp.linalg.norm(batch.action, axis=-1)
+            )
         metrics["value_running_mean"] = jnp.mean(ts.value_norm.running_mean)
         return ts, metrics
 
@@ -630,7 +817,9 @@ class MAPPOPolicy:
         )
 
     # ---------------- joint actor+critic update (fused pair kernel)
-    def _update_joint(self, ts: MAPPOState, mb) -> Tuple[MAPPOState, Dict]:
+    def _update_joint(
+        self, ts: MAPPOState, mb, pack_meta: Optional[PackMeta] = None
+    ) -> Tuple[MAPPOState, Dict]:
         """One value_and_grad over (actor, critic) with a shared pair
         kernel.  The losses are additive and touch disjoint parameters, so
         the gradients are identical to the sequential `_update_actor` +
@@ -643,9 +832,15 @@ class MAPPOPolicy:
 
         def loss_fn(params):
             actor_params, critic_params = params
-            mean, values = self._fused_pair_apply(
-                actor_params, critic_params, mb["obs"]
-            )
+            if pack_meta is not None:
+                mean, values = self._fused_pair_apply_rows(
+                    actor_params, critic_params, mb["obs_rows"],
+                    pack_meta, mb["action"].shape[0],
+                )
+            else:
+                mean, values = self._fused_pair_apply(
+                    actor_params, critic_params, mb["obs"]
+                )
             log_std = actor_params["params"]["DiagGaussianHead_0"]["log_std"]
             dist = Gaussian(
                 mean=mean, log_std=jnp.broadcast_to(log_std, mean.shape)
@@ -718,7 +913,11 @@ class MAPPOPolicy:
 
     # ---------------- joint update, direct-grad kernel path (TPU)
     def _update_joint_direct(
-        self, ts: MAPPOState, mb, interpret: bool = False
+        self,
+        ts: MAPPOState,
+        mb,
+        interpret: bool = False,
+        pack_meta: Optional[PackMeta] = None,
     ) -> Tuple[MAPPOState, Dict]:
         """Same math as `_update_joint`, but the loss and its per-sample
         output gradients are computed INSIDE the Pallas forward kernel
@@ -736,14 +935,22 @@ class MAPPOPolicy:
         from .modules.networks import entity_group_order
 
         cfg = self.cfg
-        obs = mb["obs"]
-        names = entity_group_order(obs.keys())
-        groups = tuple((obs[n].shape[-2], obs[n].shape[-1]) for n in names)
+        if pack_meta is not None:
+            names = list(pack_meta.names)
+            groups = pack_meta.groups
+            x = mb["obs_rows"]
+        else:
+            obs = mb["obs"]
+            names = entity_group_order(obs.keys())
+            groups = tuple(
+                (obs[n].shape[-2], obs[n].shape[-1]) for n in names
+            )
         spec_a = EncoderSpec(groups=groups, head_dim=self.action_dim)
         spec_c = EncoderSpec(groups=groups, head_dim=1)
         la = extract_leaves(spec_a, ts.actor_params, names)
         lc = extract_leaves(spec_c, ts.critic_params, names)
-        x, _ = pack_obs(spec_a, obs, names)
+        if pack_meta is None:
+            x, _ = pack_obs(spec_a, obs, names)
         s = x.shape[0]
         log_std = ts.actor_params["params"]["DiagGaussianHead_0"]["log_std"]
         loss_cfg = PPOLossCfg(

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .mappo import MAPPOPolicy, MAPPOState, RolloutBatch
+from .mappo import MAPPOPolicy, MAPPOState, RolloutBatch, pack_rollout_row
 
 
 @struct.dataclass
@@ -45,47 +45,58 @@ def make_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
     cfg = policy.cfg
     uses_tp = policy.tp_net is not None and getattr(env, "provides_tp", False)
 
-    def rollout_step(carry, key):
-        ts, env_state, obs, state = carry
-        k_act, k_env = jax.random.split(key)
-        action, logp, value = policy.act(
-            ts, obs, k_act, deterministic=deterministic, state=state
-        )
-        if uses_tp:
-            env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
-        else:
-            env_state, tr = env.step(env_state, action, k_env)
-        reward = tr.reward
-        collected = {
-            "obs": obs,
-            "action": action,
-            "logp": logp,
-            "value": value,
-            "reward": reward,
-            "done": tr.done,
-            "stats": tr.stats,
-        }
-        if cfg.critic_input == "state":
-            collected["state"] = state
-        if uses_tp:
-            collected["tp_input"] = tr.info["tp_input"]
-            collected["tp_gt"] = tr.info["tp_gt"]
-            collected["tp_done"] = tr.info["tp_done"]
-        next_state_input = tr.info.get("state") if isinstance(tr.info, dict) else None
-        return (ts, env_state, tr.obs, next_state_input), collected
+    def make_rollout_step(pack_meta):
+        def rollout_step(carry, key):
+            ts, env_state, obs, state = carry
+            k_act, k_env = jax.random.split(key)
+            action, logp, value = policy.act(
+                ts, obs, k_act, deterministic=deterministic, state=state
+            )
+            if uses_tp:
+                env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
+            else:
+                env_state, tr = env.step(env_state, action, k_env)
+            collected = {
+                "value": value,
+                "reward": tr.reward,
+                "done": tr.done,
+                "stats": tr.stats,
+            }
+            if pack_meta is not None:
+                # emit minibatch-ready wide rows; the scan's output stacking
+                # writes them straight into the [T, E, D] buffer, so the
+                # update's big pack-concat disappears
+                collected["packed"] = pack_rollout_row(
+                    pack_meta, obs, action, logp, value
+                )
+            else:
+                collected["obs"] = obs
+                collected["action"] = action
+                collected["logp"] = logp
+            if cfg.critic_input == "state":
+                collected["state"] = state
+            if uses_tp:
+                collected["tp_input"] = tr.info["tp_input"]
+                collected["tp_gt"] = tr.info["tp_gt"]
+                collected["tp_done"] = tr.info["tp_done"]
+            next_state_input = tr.info.get("state") if isinstance(tr.info, dict) else None
+            return (ts, env_state, tr.obs, next_state_input), collected
+
+        return rollout_step
 
     def train_iter(carry: IterCarry) -> Tuple[IterCarry, Dict, Dict]:
         key, k_roll, k_train = jax.random.split(carry.key, 3)
         step_keys = jax.random.split(k_roll, cfg.train_every)
+        pack_meta = policy.pack_meta_for(carry.obs)
         (ts, env_state, last_obs, last_state), traj = jax.lax.scan(
-            rollout_step,
+            make_rollout_step(pack_meta),
             (carry.ts, carry.env_state, carry.obs, carry.state),
             step_keys,
         )
         batch = RolloutBatch(
-            obs=traj["obs"],
-            action=traj["action"],
-            logp=traj["logp"],
+            obs=traj.get("obs"),
+            action=traj.get("action"),
+            logp=traj.get("logp"),
             value=traj["value"],
             reward=traj["reward"],
             done=traj["done"],
@@ -95,6 +106,7 @@ def make_train_iter(env, policy: MAPPOPolicy, deterministic: bool = False):
             tp_input=traj.get("tp_input"),
             tp_gt=traj.get("tp_gt"),
             tp_done=traj.get("tp_done"),
+            packed=traj.get("packed"),
         )
         ts, metrics = policy.train_op(ts, batch, k_train)
 
@@ -124,40 +136,48 @@ def make_rollout_update_progs(
     cfg = policy.cfg
     uses_tp = policy.tp_net is not None and getattr(env, "provides_tp", False)
 
-    def rollout_step(carry, key):
-        ts, env_state, obs, state = carry
-        k_act, k_env = jax.random.split(key)
-        action, logp, value = policy.act(
-            ts, obs, k_act, deterministic=deterministic, state=state
-        )
-        if uses_tp:
-            env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
-        else:
-            env_state, tr = env.step(env_state, action, k_env)
-        collected = {
-            "obs": obs,
-            "action": action,
-            "logp": logp,
-            "value": value,
-            "reward": tr.reward,
-            "done": tr.done,
-            "stats": tr.stats,
-        }
-        if cfg.critic_input == "state":
-            collected["state"] = state
-        if uses_tp:
-            collected["tp_input"] = tr.info["tp_input"]
-            collected["tp_gt"] = tr.info["tp_gt"]
-            collected["tp_done"] = tr.info["tp_done"]
-        next_state_input = tr.info.get("state") if isinstance(tr.info, dict) else None
-        return (ts, env_state, tr.obs, next_state_input), collected
+    def make_rollout_step(pack_meta):
+        def rollout_step(carry, key):
+            ts, env_state, obs, state = carry
+            k_act, k_env = jax.random.split(key)
+            action, logp, value = policy.act(
+                ts, obs, k_act, deterministic=deterministic, state=state
+            )
+            if uses_tp:
+                env_state, tr = env.step(env_state, action, k_env, ts.tp_params)
+            else:
+                env_state, tr = env.step(env_state, action, k_env)
+            collected = {
+                "value": value,
+                "reward": tr.reward,
+                "done": tr.done,
+                "stats": tr.stats,
+            }
+            if pack_meta is not None:
+                collected["packed"] = pack_rollout_row(
+                    pack_meta, obs, action, logp, value
+                )
+            else:
+                collected["obs"] = obs
+                collected["action"] = action
+                collected["logp"] = logp
+            if cfg.critic_input == "state":
+                collected["state"] = state
+            if uses_tp:
+                collected["tp_input"] = tr.info["tp_input"]
+                collected["tp_gt"] = tr.info["tp_gt"]
+                collected["tp_done"] = tr.info["tp_done"]
+            next_state_input = tr.info.get("state") if isinstance(tr.info, dict) else None
+            return (ts, env_state, tr.obs, next_state_input), collected
+
+        return rollout_step
 
     @jax.jit
     def rollout_prog(carry: IterCarry):
         key, k_roll = jax.random.split(carry.key)
         step_keys = jax.random.split(k_roll, cfg.train_every)
         (ts, env_state, last_obs, last_state), traj = jax.lax.scan(
-            rollout_step,
+            make_rollout_step(policy.pack_meta_for(carry.obs)),
             (carry.ts, carry.env_state, carry.obs, carry.state),
             step_keys,
         )
@@ -178,9 +198,9 @@ def make_rollout_update_progs(
     def update_prog(carry: IterCarry, traj):
         key, k_train = jax.random.split(carry.key)
         batch = RolloutBatch(
-            obs=traj["obs"],
-            action=traj["action"],
-            logp=traj["logp"],
+            obs=traj.get("obs"),
+            action=traj.get("action"),
+            logp=traj.get("logp"),
             value=traj["value"],
             reward=traj["reward"],
             done=traj["done"],
@@ -190,6 +210,7 @@ def make_rollout_update_progs(
             tp_input=traj.get("tp_input"),
             tp_gt=traj.get("tp_gt"),
             tp_done=traj.get("tp_done"),
+            packed=traj.get("packed"),
         )
         ts, metrics = policy.train_op(carry.ts, batch, k_train)
         return carry.replace(ts=ts, key=key), metrics
