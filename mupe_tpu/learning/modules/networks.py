@@ -228,6 +228,19 @@ class ConvVisionEncoder(nn.Module):
         return h.reshape(batch_shape + (self.out_dim,))
 
 
+# vision backbone registry (reference VISION_ENCODER_MAP, networks.py:369)
+def make_vision_encoder(kind: str, name: str) -> nn.Module:
+    if kind == "conv":
+        return ConvVisionEncoder(name=name)
+    if kind in ("mobilenet_v3_small", "mobilenet_v3_large"):
+        from .mobilenet import MobileNetV3
+
+        return MobileNetV3(
+            variant=kind.rsplit("_", 1)[1], name=name
+        )
+    raise ValueError(f"unknown vision encoder {kind!r}")
+
+
 class VisionActor(nn.Module):
     """Mixed vision+state actor (MixedEncoder → DiagGaussian head): the
     `ppo_vision` policy over envs emitting a "depth" frame alongside the
@@ -236,12 +249,16 @@ class VisionActor(nn.Module):
 
     action_dim: int
     vision_keys: Sequence[str] = ("depth",)
+    vision_encoder: str = "conv"
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray]):
         from .distributions import DiagGaussianHead
 
-        feats = MixedObsEncoder(vision_keys=tuple(self.vision_keys))(obs)
+        feats = MixedObsEncoder(
+            vision_keys=tuple(self.vision_keys),
+            vision_encoder=self.vision_encoder,
+        )(obs)
         return DiagGaussianHead(self.action_dim)(feats.astype(jnp.float32))
 
 
@@ -249,11 +266,15 @@ class VisionCritic(nn.Module):
     """Mixed vision+state critic (MixedEncoder → value head)."""
 
     vision_keys: Sequence[str] = ("depth",)
+    vision_encoder: str = "conv"
     out_dim: int = 1
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        feats = MixedObsEncoder(vision_keys=tuple(self.vision_keys))(obs)
+        feats = MixedObsEncoder(
+            vision_keys=tuple(self.vision_keys),
+            vision_encoder=self.vision_encoder,
+        )(obs)
         return nn.Dense(
             self.out_dim, kernel_init=nn.initializers.orthogonal(0.01)
         )(feats.astype(jnp.float32))
@@ -261,9 +282,13 @@ class VisionCritic(nn.Module):
 
 class MixedObsEncoder(nn.Module):
     """Vision branch + state branch, concatenated then projected
-    (MixedEncoder, networks.py:322-368)."""
+    (MixedEncoder, networks.py:322-368).  `vision_encoder` selects the
+    backbone: "conv" (compact CNN) or "mobilenet_v3_small"/"_large"
+    (the reference's torchvision backbone, re-implemented TPU-native in
+    modules/mobilenet.py)."""
 
     vision_keys: Sequence[str]
+    vision_encoder: str = "conv"
     state_hidden: Sequence[int] = (256, 256)
     out_dim: int = 256
 
@@ -272,7 +297,11 @@ class MixedObsEncoder(nn.Module):
         feats = []
         for key in obs.keys():
             if key in self.vision_keys:
-                feats.append(ConvVisionEncoder(name=f"vision_{key}")(obs[key]))
+                feats.append(
+                    make_vision_encoder(
+                        self.vision_encoder, name=f"vision_{key}"
+                    )(obs[key])
+                )
             else:
                 feats.append(MLP(tuple(self.state_hidden))(obs[key]))
         x = jnp.concatenate(feats, axis=-1)

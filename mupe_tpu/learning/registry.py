@@ -145,6 +145,10 @@ def _make_ppo_vision(env, overrides):
     vision is viz-only there)."""
     from .modules.networks import VisionActor, VisionCritic
 
+    overrides = dict(overrides or {})
+    # backbone choice: "conv" (default) or "mobilenet_v3_small"/"_large"
+    # (the reference's torchvision backbone, networks.py:371-428)
+    vision_encoder = overrides.pop("vision_encoder", "conv")
     cfg = _mk_cfg(MAPPOCfg, env, overrides)
     cfg = dataclasses.replace(cfg, use_tp_net=False, use_fused_encoder=False)
     if not _obs_is_dict(env):
@@ -157,8 +161,10 @@ def _make_ppo_vision(env, overrides):
         n_agents=env.num_agents,
         action_dim=env.action_dim,
         obs_is_dict=True,
-        actor_module=VisionActor(action_dim=env.action_dim),
-        critic_module=VisionCritic(),
+        actor_module=VisionActor(
+            action_dim=env.action_dim, vision_encoder=vision_encoder
+        ),
+        critic_module=VisionCritic(vision_encoder=vision_encoder),
     )
 
 

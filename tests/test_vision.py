@@ -86,3 +86,55 @@ def test_ppo_vision_from_harness():
     it = jax.jit(make_train_iter(env, policy))
     carry, metrics, _ = it(carry)
     assert np.isfinite(float(metrics["policy_loss"]))
+
+
+def test_mobilenet_v3_small_shapes_and_grads():
+    """The TPU-native MobileNetV3-Small backbone (reference
+    networks.py:371-428): 576-dim features from 1- or 3-channel frames,
+    gradients flow to every block."""
+    from mupe_tpu.learning.modules.mobilenet import MobileNetV3
+
+    net = MobileNetV3(variant="small")
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 48, 64, 1))
+    params = net.init(jax.random.PRNGKey(1), x1)
+    y = net.apply(params, x1)
+    assert y.shape == (2, 3, 576)
+    assert np.isfinite(np.asarray(y)).all()
+    # 3-channel input uses the same params (1-ch is repeated to 3)
+    x3 = jax.random.normal(jax.random.PRNGKey(2), (4, 48, 64, 3))
+    y3 = net.apply(params, x3)
+    assert y3.shape == (4, 576)
+
+    g = jax.grad(lambda p: jnp.sum(jnp.square(net.apply(p, x3))))(params)
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree_util.tree_leaves(g)]
+    assert sum(n > 0 for n in norms) >= 0.9 * len(norms)
+
+
+def test_mobilenet_batchstats_norm_is_stateless():
+    """track_running_stats=False semantics: pure function, same output for
+    same input, batch-statistic normalization (unit variance-ish)."""
+    from mupe_tpu.learning.modules.mobilenet import _BatchStatsNorm
+
+    bn = _BatchStatsNorm()
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 4, 4, 8)) * 5 + 3
+    p = bn.init(jax.random.PRNGKey(1), x)
+    y = bn.apply(p, x)
+    yf = np.asarray(y).reshape(-1, 8)
+    np.testing.assert_allclose(yf.mean(0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(yf.std(0), 1.0, atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(bn.apply(p, x)), np.asarray(y))
+
+
+def test_ppo_vision_mobilenet_trains():
+    """ppo_vision with the MobileNetV3-Small backbone end-to-end."""
+    env = _env()
+    policy = make_policy(
+        "ppo_vision", env,
+        {"train_every": 8, "num_minibatches": 2, "ppo_epochs": 1,
+         "vision_encoder": "mobilenet_v3_small"},
+    )
+    carry = init_carry(env, policy, jax.random.PRNGKey(0))
+    train_iter = jax.jit(make_train_iter(env, policy))
+    carry, metrics, stats = train_iter(carry)
+    assert np.isfinite(float(metrics["policy_loss"]))
+    assert np.isfinite(float(metrics["value_loss"]))
