@@ -687,11 +687,6 @@ class MAPPOPolicy:
                 return jax.tree_util.tree_unflatten(treedef, out)
 
         use_kl_stop = cfg.target_kl is not None
-        if use_kl_stop and cfg.use_inkernel_loss:
-            raise ValueError(
-                "target_kl requires the value_and_grad paths (the in-kernel "
-                "loss emits no KL statistic)"
-            )
 
         def epoch_body(carry, ek):
             ts, stop = carry
@@ -928,7 +923,7 @@ class MAPPOPolicy:
 
         from ..ops.fused_encoder import (
             _SUM_MIN12, _SUM_RATIO, _SUM_RATIO2, _SUM_H1, _SUM_H2,
-            _SUM_SQERR, _SUM_RET, _SUM_RET2,
+            _SUM_SQERR, _SUM_RET, _SUM_RET2, _SUM_LOGR,
             EncoderSpec, PPOLossCfg, extract_leaves, fused_pair_ppo_grads,
             pack_obs, rebuild_grads,
         )
@@ -1008,6 +1003,10 @@ class MAPPOPolicy:
                 "value_loss": value_loss,
                 "critic_grad_norm": optax.global_norm(grads_c),
                 "explained_var": explained_var,
+                # k3 estimator from the in-kernel sums (enables target_kl)
+                "approx_kl": (
+                    sums[_SUM_RATIO] - loss_cfg.n_rows - sums[_SUM_LOGR]
+                ) * inv_s,
             },
         )
 

@@ -63,11 +63,12 @@ _LN_EPS = 1e-6  # flax LayerNorm default
 
 # Row-tile sizes for the sample grid.  The BWD kernels' recompute working
 # set caps their tile at 512 (1024 needs 26.7 MB VMEM vs the 16 MB limit,
-# measured); the FWD kernels hold no residuals and tile at 1024, halving
-# their grid-step count (bench.py: 779.8 K vs 771.8 K env-steps/s,
-# measured on-chip).  Set MUPE_FUSED_TILE_FWD=0 to tie fwd to `tile`.
+# measured); the FWD kernels hold no residuals and tile at 1536 (19.4 MB
+# at 2048 OOMs; 1536 measured best: 904.5K vs 900.4K @1024 env-steps/s
+# e2e with the split bwd).  Set MUPE_FUSED_TILE_FWD=0 to tie fwd to
+# `tile`.
 _DEFAULT_TILE = int(os.environ.get("MUPE_FUSED_TILE", "512"))
-_DEFAULT_TILE_FWD = int(os.environ.get("MUPE_FUSED_TILE_FWD", "1024"))
+_DEFAULT_TILE_FWD = int(os.environ.get("MUPE_FUSED_TILE_FWD", "1536"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -533,7 +534,7 @@ class PPOLossCfg:
 
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
-# column layout of the kernel's per-row stats output [T, 8 + A]
+# column layout of the kernel's per-row stats output [T, 9 + A]
 _SUM_MIN12 = 0      # min(surr1, surr2)
 _SUM_RATIO = 1      # ratio
 _SUM_RATIO2 = 2     # ratio²
@@ -542,8 +543,9 @@ _SUM_H2 = 4         # huber(clip_v − R)
 _SUM_SQERR = 5      # (v − R)²
 _SUM_RET = 6        # R
 _SUM_RET2 = 7       # R²
-_SUM_DLS = 8        # cols 8..8+A: dlogp·(z²−1) per action dim
-_N_STATS = 8
+_SUM_LOGR = 8       # clipped log-ratio (for the k3 approx-KL estimator)
+_SUM_DLS = 9        # cols 9..9+A: dlogp·(z²−1) per action dim
+_N_STATS = 9
 
 
 def _pair_fwd_loss_kernel(
@@ -560,7 +562,6 @@ def _pair_fwd_loss_kernel(
     relayouts), and the stats matrix is built by mask-multiply-add, not
     lane-concatenation of 1-lane columns."""
     na, nc = spec_a.n_leaves, spec_c.n_leaves
-    A = loss.action_dim
     x_ref, act_ref, logp_ref, adv_ref, vold_ref, ret_ref, ls_ref = refs[:7]
     la = [r[:] for r in refs[7 : 7 + na]]
     lc = [r[:] for r in refs[7 + na : 7 + na + nc]]
@@ -569,14 +570,26 @@ def _pair_fwd_loss_kernel(
     x = x_ref[:].astype(jnp.float32)
     mean, _ = _forward_core(spec_a, x, la)              # [T, A]
     vout, _ = _forward_core(spec_c, x, lc)              # [T, 1]
-    act = act_ref[:].astype(jnp.float32)                # [T, A]
-    logp_old = logp_ref[:].astype(jnp.float32)          # [T, 1]
-    adv = adv_ref[:].astype(jnp.float32)
-    v_old = vold_ref[:].astype(jnp.float32)
-    ret = ret_ref[:].astype(jnp.float32)
-    log_std = ls_ref[:].astype(jnp.float32)             # [A]
+    dmu, dv1, dv2, stats = _loss_math(
+        loss, mean, vout,
+        act_ref[:].astype(jnp.float32),
+        logp_ref[:].astype(jnp.float32),
+        adv_ref[:].astype(jnp.float32),
+        vold_ref[:].astype(jnp.float32),
+        ret_ref[:].astype(jnp.float32),
+        ls_ref[:].astype(jnp.float32),
+    )
+    dmu_ref[:] = dmu
+    dv1_ref[:] = dv1
+    dv2_ref[:] = dv2
+    stats_ref[:] = stats
 
-    t_rows = x.shape[0]
+
+def _loss_math(loss, mean, vout, act, logp_old, adv, v_old, ret, log_std):
+    """PPO-clip + clipped-Huber per-row gradient/stat math shared by the
+    fwd+loss kernels.  Returns (dmu [T,A], dv1, dv2 [T,1], stats [T,K])."""
+    A = loss.action_dim
+    t_rows = mean.shape[0]
     step = pl.program_id(0)
     row = step * t_rows + jax.lax.broadcasted_iota(
         jnp.int32, (t_rows, 1), 0
@@ -625,10 +638,7 @@ def _pair_fwd_loss_kernel(
         * (jnp.abs(vout - v_old) <= eps).astype(jnp.float32) * maskr
     )
 
-    dmu_ref[:] = dmu
-    dv1_ref[:] = dv1
-    dv2_ref[:] = dv2
-    # [T, 8+A] stats via broadcast mask-multiply-add ([T,1]·[1,K] lane
+    # [T, 9+A] stats via broadcast mask-multiply-add ([T,1]·[1,K] lane
     # broadcasts — no lane-concat, no relayout)
     n_cols = _N_STATS + A
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
@@ -641,6 +651,7 @@ def _pair_fwd_loss_kernel(
         (_SUM_SQERR, jnp.square(d1) * maskr),
         (_SUM_RET, ret * maskr),
         (_SUM_RET2, jnp.square(ret) * maskr),
+        (_SUM_LOGR, jnp.clip(log_ratio, -20.0, 20.0) * maskr),
     ]
     stats = jnp.zeros((mean.shape[0], n_cols), jnp.float32)
     for k, col in cols:
@@ -650,7 +661,7 @@ def _pair_fwd_loss_kernel(
         stats = stats + dls_rows[:, d : d + 1] * (
             lane == _SUM_DLS + d
         ).astype(jnp.float32)
-    stats_ref[:] = stats
+    return dmu, dv1, dv2, stats
 
 
 @functools.lru_cache(maxsize=None)
@@ -699,6 +710,108 @@ def _build_pair_loss_call(
     return fwd_loss
 
 
+def _pair_fwd_loss_agrad_kernel(
+    spec_a: EncoderSpec, spec_c: EncoderSpec, loss: PPOLossCfg, *refs
+):
+    """fwd (both nets) + PPO loss + ACTOR backprop in one launch.
+
+    The actor's forward activations are still live in VMEM when its
+    per-row cotangent dμ is computed, so its backward pass runs right here
+    with ZERO recompute — the separate bwd launch that remains is
+    critic-only (the clipped-Huber branch is a max of batch MEANS,
+    mappo.py:326-352, so the critic cotangent needs the full batch and
+    cannot be resolved per tile)."""
+    na, nc = spec_a.n_leaves, spec_c.n_leaves
+    x_ref, act_ref, logp_ref, adv_ref, vold_ref, ret_ref, ls_ref = refs[:7]
+    la = [r[:] for r in refs[7 : 7 + na]]
+    lc = [r[:] for r in refs[7 + na : 7 + na + nc]]
+    outs = refs[7 + na + nc :]
+    dv1_ref, dv2_ref, stats_ref = outs[:3]
+    agrad_refs = outs[3:]
+
+    x = x_ref[:].astype(jnp.float32)
+    # critic FIRST: its intermediates die before the actor's fwd+bwd
+    # peak, so scoped VMEM is ~max(critic fwd, actor fwd+bwd) instead of
+    # their sum (20.6 MB at tile 512 — over the 16 MB budget — when the
+    # actor residuals stay live across the critic forward)
+    vout, _ = _forward_core(spec_c, x, lc)              # [T, 1]
+    mean, res_a = _forward_core(spec_a, x, la)          # [T, A] + residuals
+    dmu, dv1, dv2, stats = _loss_math(
+        loss, mean, vout,
+        act_ref[:].astype(jnp.float32),
+        logp_ref[:].astype(jnp.float32),
+        adv_ref[:].astype(jnp.float32),
+        vold_ref[:].astype(jnp.float32),
+        ret_ref[:].astype(jnp.float32),
+        ls_ref[:].astype(jnp.float32),
+    )
+    dv1_ref[:] = dv1
+    dv2_ref[:] = dv2
+    stats_ref[:] = stats
+    grads_a = _backward_core(spec_a, la, res_a, dmu)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for gr in agrad_refs:
+            gr[:] = jnp.zeros(gr.shape, jnp.float32)
+
+    for gr, g_ in zip(agrad_refs, grads_a):
+        gr[:] = gr[:] + g_.reshape(gr.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pair_loss_agrad_call(
+    spec_a: EncoderSpec,
+    spec_c: EncoderSpec,
+    loss: PPOLossCfg,
+    s_padded: int,
+    interpret: bool,
+):
+    assert spec_a.groups == spec_c.groups
+    tile = spec_a.tile
+    n_tiles = s_padded // tile
+    A = loss.action_dim
+
+    def call(x, act, logp_old, adv, v_old, ret, log_std, leaves_a, leaves_c):
+        leaves = list(leaves_a) + list(leaves_c)
+        grad_shapes = [
+            jax.ShapeDtypeStruct(l.shape, jnp.float32) for l in leaves_a
+        ]
+        outs = pl.pallas_call(
+            functools.partial(
+                _pair_fwd_loss_agrad_kernel, spec_a, spec_c, loss
+            ),
+            grid=(n_tiles,),
+            in_specs=[
+                _row_spec(tile, spec_a.obs_dim),
+                _row_spec(tile, A),
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+            ]
+            + _const_specs([log_std])
+            + _const_specs(leaves),
+            out_specs=[
+                _row_spec(tile, 1),
+                _row_spec(tile, 1),
+                _row_spec(tile, _N_STATS + A),
+            ]
+            + _const_specs(list(leaves_a)),
+            out_shape=[
+                jax.ShapeDtypeStruct((s_padded, 1), jnp.float32),
+                jax.ShapeDtypeStruct((s_padded, 1), jnp.float32),
+                jax.ShapeDtypeStruct((s_padded, _N_STATS + A), jnp.float32),
+            ]
+            + grad_shapes,
+            interpret=interpret,
+        )(x, act, logp_old, adv, v_old, ret, log_std, *leaves)
+        return outs[0], outs[1], outs[2], outs[3:]
+
+    return call
+
+
 def fused_pair_ppo_grads(
     spec_a: EncoderSpec,
     spec_c: EncoderSpec,
@@ -714,39 +827,63 @@ def fused_pair_ppo_grads(
     ret,
     interpret: bool = False,
 ):
-    """One fwd+loss launch + one pair-bwd launch → direct PPO gradients.
+    """Direct PPO gradients in TWO launches with no actor recompute:
 
-    Returns (dleaves_a, dlog_std_policy_term, dleaves_c, metric sums):
-    the XLA loss chain between the old fwd and bwd launches collapses into
-    the forward kernel; only the value-branch select (max of batch means)
-    stays outside.  `dlog_std` here is the POLICY term only — the entropy
-    bonus adds a constant −entropy_coef per dim, left to the caller (it
-    also owns the entropy metric, which needs no kernel at all)."""
+      1. `_pair_fwd_loss_agrad_kernel` — fwd of both nets + the whole
+         loss-gradient math + the actor's full backward (activations
+         still in VMEM), emitting actor grads, both dv candidates and the
+         stat sums;
+      2. critic-only bwd (recomputes just the critic) once the
+         value-branch select (max of batch means) is resolved outside.
+
+    Returns (dleaves_a, dlog_std_policy_term, dleaves_c, metric sums).
+    `dlog_std` is the POLICY term only — the entropy bonus adds a
+    constant −entropy_coef per dim, left to the caller (which also owns
+    the entropy metric, needing no kernel at all)."""
     s = x.shape[0]
+    if not interpret:
+        # the combined launch's working set (actor fwd+bwd live at its
+        # peak) caps the row tile below the plain bwd kernels': 512 needs
+        # 17.97 MB (measured), 448 fits the 16 MB scoped-VMEM budget
+        agrad_tile = int(os.environ.get("MUPE_AGRAD_TILE", "448"))
+        # tile_fwd pinned too: pad_tile must equal the launch tile (the
+        # grid is s_padded // tile — a larger pad unit would leave the
+        # row count non-divisible by the tile)
+        spec_a = dataclasses.replace(
+            spec_a, tile=agrad_tile, tile_fwd=agrad_tile
+        )
+        spec_c = dataclasses.replace(
+            spec_c, tile=agrad_tile, tile_fwd=agrad_tile
+        )
     tile = spec_a.pad_tile
     xp = _pad_rows(x, tile)
-    fwd_loss = _build_pair_loss_call(
+    agrad_call = _build_pair_loss_agrad_call(
         spec_a, spec_c, loss, xp.shape[0], interpret
     )
     pads = [
         _pad_rows(a.astype(jnp.float32), tile)
         for a in (act, logp_old, adv, v_old, ret)
     ]
-    dmu, dv1, dv2, stats = fwd_loss(
+    dv1, dv2, stats, dla = agrad_call(
         xp, *pads, log_std, tuple(leaves_a), tuple(leaves_c)
     )
     sums = jnp.sum(stats, axis=0)  # one fused column reduction in XLA
     h1 = sums[_SUM_H1] / loss.n_rows
     h2 = sums[_SUM_H2] / loss.n_rows
     dv = jnp.where(h1 >= h2, dv1, dv2)
-    _, bwd = _build_pair_calls(spec_a, spec_c, xp.shape[0], interpret)
-    dleaves = bwd(xp, dmu, dv, tuple(leaves_a), tuple(leaves_c))
-    na = spec_a.n_leaves
+    # critic-only bwd at the largest fitting tile (one network's
+    # recompute working set allows a bigger tile than the pair's)
+    bwd_tile = spec_c.tile if interpret else _PAIR_BWD_TILE
+    sc = dataclasses.replace(spec_c, tile=bwd_tile)
+    xp2 = _pad_rows(x, sc.pad_tile)
+    dvp = _pad_rows(dv[:s], sc.pad_tile)
+    _, bwd_c = _build_calls(sc, xp2.shape[0], interpret)
+    dlc = bwd_c(xp2, dvp, *leaves_c)
     dla = tuple(
-        dl.astype(l.dtype) for dl, l in zip(dleaves[:na], leaves_a)
+        dl.astype(l.dtype) for dl, l in zip(dla, leaves_a)
     )
     dlc = tuple(
-        dl.astype(l.dtype) for dl, l in zip(dleaves[na:], leaves_c)
+        dl.astype(l.dtype) for dl, l in zip(dlc, leaves_c)
     )
     dlog_std = sums[_SUM_DLS : _SUM_DLS + loss.action_dim]
     return dla, dlog_std, dlc, sums
@@ -936,6 +1073,18 @@ def _pair_vjp_fwd(spec_a, spec_b, leaves_a, leaves_b, obs_packed):
     return out, (leaves_a, leaves_b, obs_packed)
 
 
+# Pair-bwd launch strategy.  "split" (default): TWO single-network bwd
+# launches at tile `MUPE_PAIR_BWD_TILE` (640 — the largest fitting the
+# 16 MB scoped-VMEM budget; a single network at 1024 needs 25.5 MB) —
+# 25% bigger tiles than the pair kernel can afford, at the cost of
+# loading x twice (~10 MB, negligible) and losing cross-network
+# instruction overlap.  Measured e2e: 900.4K (split@640) vs 867.2K
+# (pair@512) vs 863.7K (pair@576) env-steps/s.  "pair": ONE kernel
+# recomputing and backpropagating both networks at `tile`.
+_PAIR_BWD_MODE = os.environ.get("MUPE_PAIR_BWD", "split")
+_PAIR_BWD_TILE = int(os.environ.get("MUPE_PAIR_BWD_TILE", "640"))
+
+
 def _pair_vjp_bwd(spec_a, spec_b, resids, douts):
     leaves_a, leaves_b, obs_packed = resids
     dout_a, dout_b = douts
@@ -948,6 +1097,20 @@ def _pair_vjp_bwd(spec_a, spec_b, resids, douts):
         )
         return pba(dout_a)[0], pbb(dout_b)[0], jnp.zeros_like(obs_packed)
     s = obs_packed.shape[0]
+    if _PAIR_BWD_MODE == "split":
+        sa = dataclasses.replace(spec_a, tile=_PAIR_BWD_TILE)
+        sb = dataclasses.replace(spec_b, tile=_PAIR_BWD_TILE)
+        pad = max(sa.pad_tile, sb.pad_tile)
+        x = _pad_rows(obs_packed, pad)
+        da = _pad_rows(dout_a.astype(jnp.float32), pad)
+        db = _pad_rows(dout_b.astype(jnp.float32), pad)
+        _, bwd_a = _build_calls(sa, x.shape[0], False)
+        _, bwd_b = _build_calls(sb, x.shape[0], False)
+        dla = bwd_a(x, da, *leaves_a)
+        dlb = bwd_b(x, db, *leaves_b)
+        dla = tuple(dl.astype(l.dtype) for dl, l in zip(dla, leaves_a))
+        dlb = tuple(dl.astype(l.dtype) for dl, l in zip(dlb, leaves_b))
+        return dla, dlb, jnp.zeros_like(obs_packed)
     x = _pad_rows(obs_packed, spec_a.pad_tile)
     da = _pad_rows(dout_a.astype(jnp.float32), spec_a.pad_tile)
     db = _pad_rows(dout_b.astype(jnp.float32), spec_a.pad_tile)

@@ -28,10 +28,12 @@ import numpy as np
 NUM_ENVS = int(os.environ.get("PROF_NUM_ENVS", 4096))
 T = int(os.environ.get("PROF_TRAIN_EVERY", 64))
 ITERS = int(os.environ.get("PROF_ITERS", 5))
-# comma-separated subset of {full,scan,glue,direct,tp,pair} to skip the
-# multi-minute compiles of sections you aren't iterating on
+# comma-separated subset of {full,scan,glue,direct,tp,pair,pairsplit} to
+# skip the multi-minute compiles of sections you aren't iterating on
 SECTIONS = set(
-    os.environ.get("PROF_SECTIONS", "full,scan,glue,direct,tp,pair").split(",")
+    os.environ.get(
+        "PROF_SECTIONS", "full,scan,glue,direct,tp,pair,pairsplit"
+    ).split(",")
 )
 
 
@@ -63,7 +65,9 @@ def main():
 
     env_cfg = HideAndSeekCfg(num_envs=NUM_ENVS, max_episode_length=800)
     env = HideAndSeek(env_cfg)
-    algo_cfg = MAPPOCfg(train_every=T, use_tp_net=True)
+    # pack_rollout off: this script does its own packing and reads the
+    # legacy traj dict fields for component isolation
+    algo_cfg = MAPPOCfg(train_every=T, use_tp_net=True, pack_rollout=False)
     policy = MAPPOPolicy(
         algo_cfg, n_agents=env.num_agents, action_dim=4, obs_is_dict=True,
         tp_input_dim=env_cfg.tp_input_dim,
@@ -269,6 +273,54 @@ def main():
         )
         print(f"  {n_steps}x pair fwd+bwd   {t_pair*1e3:8.1f} ms "
               f"({t_pair/n_steps*1e3:.2f} ms/minibatch)")
+
+    # ---- pair fwd-only vs bwd-only launches (attribution for kernel work)
+    if "pairsplit" in SECTIONS:
+        from mupe_tpu.ops.fused_encoder import _build_pair_calls, _pad_rows
+
+        xp_const = _pad_rows(x, spec_a.pad_tile)
+        fwd_call, bwd_call = _build_pair_calls(
+            spec_a, spec_c, xp_const.shape[0], False
+        )
+        da = jnp.ones((xp_const.shape[0], 4), jnp.float32)
+        dc = jnp.ones((xp_const.shape[0], 1), jnp.float32)
+
+        @jax.jit
+        def scan_fwd_only(ap, cp, xx):
+            la = extract_leaves(spec_a, ap, names)
+            lc = extract_leaves(spec_c, cp, names)
+
+            def body(c, _):
+                oa, oc = fwd_call(xx + c * 1e-20, la, lc)
+                return c + oa[0, 0] * 1e-12 + oc[0, 0] * 1e-12, None
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=n_steps)
+            return out
+
+        @jax.jit
+        def scan_bwd_only(ap, cp, xx):
+            la = extract_leaves(spec_a, ap, names)
+            lc = extract_leaves(spec_c, cp, names)
+
+            def body(c, _):
+                gl = bwd_call(xx + c * 1e-20, da, dc, la, lc)
+                return c + gl[0][0, 0] * 1e-12, None
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=n_steps)
+            return out
+
+        t_f = timeit(
+            scan_fwd_only, carry2.ts.actor_params, carry2.ts.critic_params,
+            xp_const,
+        )
+        t_b = timeit(
+            scan_bwd_only, carry2.ts.actor_params, carry2.ts.critic_params,
+            xp_const,
+        )
+        print(f"  {n_steps}x pair fwd only  {t_f*1e3:8.1f} ms "
+              f"({t_f/n_steps*1e3:.2f} ms/minibatch)")
+        print(f"  {n_steps}x pair bwd only  {t_b*1e3:8.1f} ms "
+              f"({t_b/n_steps*1e3:.2f} ms/minibatch)")
 
 
 if __name__ == "__main__":

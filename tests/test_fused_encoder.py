@@ -158,6 +158,15 @@ def test_pair_public_entry_pad_grid_interaction(monkeypatch):
         "_build_pair_calls",
         lambda sa, sb, sp, interp: orig_pair(sa, sb, sp, True),
     )
+    orig_single = fe._build_calls
+    monkeypatch.setattr(
+        fe,
+        "_build_calls",
+        lambda s, sp, interp: orig_single(s, sp, True),
+    )
+    # the split-bwd production tile (640) assumes TPU VMEM; pin the
+    # interpret-mode bwd to the small test tiles
+    monkeypatch.setattr(fe, "_PAIR_BWD_TILE", 64)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)

@@ -218,3 +218,24 @@ def test_encoder_dict_order_invariance():
     a2 = dict(a)
     a2["state_self"] = a["state_self"] + jnp.arange(35.0)
     assert not jnp.allclose(enc.apply(p, a2), out_a)
+
+
+def test_tp_net_fused_input_proj_matches_rnn_path():
+    """The fused-input-projection LSTM (one [B*T,F]x[F,4H] matmul + scan)
+    must reproduce nn.RNN(OptimizedLSTMCell) on the SAME param tree."""
+    from mupe_tpu.learning.tp_net import TPNet
+
+    ref = TPNet(output_dim=15, fused_input_proj=False)
+    fast = TPNet(output_dim=15, fused_input_proj=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 10, 16))
+    p_ref = ref.init(jax.random.PRNGKey(1), x)
+    p_fast = fast.init(jax.random.PRNGKey(1), x)
+    # identical tree structure (checkpoint compatibility)
+    assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(p_fast)
+    y_ref = ref.apply(p_ref, x)
+    y_fast = fast.apply(p_ref, x)  # NOTE: reference params through fast path
+    assert float(jnp.max(jnp.abs(y_ref - y_fast))) < 2e-2  # bf16 noise
+    # gradients flow through every leaf on the fast path
+    g = jax.grad(lambda p: jnp.sum(jnp.square(fast.apply(p, x))))(p_ref)
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree_util.tree_leaves(g)]
+    assert all(n > 0 for n in norms)
