@@ -243,6 +243,7 @@ def step(
     dt: float,
     cfg: RigidBodyCfg = RigidBodyCfg(),
     enable_downwash: bool = True,
+    ext_force_w: jnp.ndarray | None = None,
 ) -> Tuple[DroneState, jnp.ndarray]:
     """One full quadrotor sim tick (multirotor.py:466-508 + PhysX step).
 
@@ -261,6 +262,10 @@ def step(
         force_w = force_w + downwash_forces(state.pos, force_w)
     # linear "drag" force (multirotor.py:495) — sign matches the reference
     force_w = force_w + (params.drag_coef * params.mass)[..., None] * state.vel
+    if ext_force_w is not None:
+        # external world-frame force at the COM (assembly constraint
+        # forces — e.g. the transport group's rods)
+        force_w = force_w + ext_force_w
 
     new_state = integrate(
         params, state, force_w, torque_b, dt, cfg, new_throttle=new_throttle
