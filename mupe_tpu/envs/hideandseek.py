@@ -105,6 +105,9 @@ class HideAndSeekCfg:
     # (the arena is rotationally symmetric; exposure teaches the approach
     # pattern rather than absolute coordinates)
     eval_mix_rotate: bool = True
+    # restrict the mixed-in scenarios (default: all that fit capacity) —
+    # e.g. ("empty",) to focus a fine-tune on one layout
+    eval_mix_scenarios: Optional[Tuple[str, ...]] = None
     # TP net (HideAndSeek.yaml:30-34)
     use_tp_net: bool = True
     history_step: int = 10
@@ -246,9 +249,17 @@ class HideAndSeek:
                 )
             from .scenarios import EVAL_SCENARIOS
 
+            mix_scen = (
+                tuple(cfg.eval_mix_scenarios)
+                if cfg.eval_mix_scenarios is not None
+                else EVAL_SCENARIOS
+            )
+            for f in mix_scen:
+                if f not in EVAL_SCENARIOS:
+                    raise ValueError(f"unknown eval scenario {f!r}")
             # spawn tables: all scenarios (spawns need no cylinder capacity)
             d_tabs, t_tabs = [], []
-            for f in EVAL_SCENARIOS:
+            for f in mix_scen:
                 d, t = scenario_spawns(f, cfg.num_agents)
                 d_tabs.append(d)
                 t_tabs.append(t)
@@ -257,7 +268,7 @@ class HideAndSeek:
             # full-scenario tables: only layouts that fit num_cylinders
             # (passage/random need 6 active; default capacity is 5)
             fd, ft, fc, names = [], [], [], []
-            for f in EVAL_SCENARIOS:
+            for f in mix_scen:
                 try:
                     c, _ = scenario_cylinders(
                         f, cfg.num_cylinders, cfg.cylinder_size, cfg.max_height

@@ -153,3 +153,26 @@ def test_aeg_starvation_boosts_ratio_unif():
     assert int(state.gen.dry_cycles) >= 2
     assert ratio_seen[-1] >= 0.9 - 1e-6, ratio_seen
     assert ratio_seen[0] <= 0.3 + 1e-6, ratio_seen  # boost not active at start
+
+
+def test_eval_mix_scenarios_restriction():
+    """eval_mix_scenarios limits the mixed tables to the named layouts."""
+    cfg = HideAndSeekCfg(
+        num_envs=32, num_agents=3,
+        eval_scenario_ratio=1.0, eval_mix_rotate=False,
+        eval_mix_scenarios=("empty",),
+    )
+    env = HideAndSeek(cfg)
+    assert env._mix_full_scenarios == ("empty",)
+    d, q, t, cyl, fb = env._sample_scene(jax.random.PRNGKey(0))
+    # empty layout: every cylinder parked underground
+    assert float(jnp.max(np.asarray(cyl)[..., 2])) < 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        HideAndSeek(
+            HideAndSeekCfg(
+                num_envs=4, eval_spawn_ratio=0.5,
+                eval_mix_scenarios=("nope",),
+            )
+        )
