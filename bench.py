@@ -27,6 +27,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", 10))
 # Escape hatch: BENCH_FUSED=0 runs the pure-XLA (flax) update so a Pallas
 # kernel regression can never zero out the round's headline metric.
 FUSED = os.environ.get("BENCH_FUSED", "1") != "0"
+# BENCH_INKERNEL=1 switches to the fwd+loss+actor-bwd combined kernel
+# (use_inkernel_loss) — competitive only with a raised scoped-VMEM limit
+# (MUPE_SCOPED_VMEM_KIB) that admits large agrad tiles.
+INKERNEL = os.environ.get("BENCH_INKERNEL", "0") == "1"
 
 
 def main():
@@ -42,7 +46,8 @@ def main():
     env_cfg = HideAndSeekCfg(num_envs=NUM_ENVS, max_episode_length=800)
     env = HideAndSeek(env_cfg)
     algo_cfg = MAPPOCfg(
-        train_every=TRAIN_EVERY, use_tp_net=True, use_fused_encoder=FUSED
+        train_every=TRAIN_EVERY, use_tp_net=True, use_fused_encoder=FUSED,
+        use_inkernel_loss=INKERNEL,
     )
     policy = MAPPOPolicy(
         algo_cfg,

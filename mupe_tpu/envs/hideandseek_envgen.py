@@ -128,7 +128,7 @@ class HideAndSeekEnvgen(HideAndSeek):
     def _uniform_tasks(self, key: jnp.ndarray) -> jnp.ndarray:
         """Uniform task sampling (hideandseek_envgen.py:860-873) — reuses the
         base scene sampler."""
-        drone_pos, _, target_pos, cylinders, _ = self._sample_scene(key)
+        drone_pos, _, target_pos, cylinders, _, _ = self._sample_scene(key)
         return self._scene_to_tasks(drone_pos, target_pos, cylinders)
 
     def _easy_history(self, seed: int = 0) -> jnp.ndarray:

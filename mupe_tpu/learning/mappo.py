@@ -106,10 +106,21 @@ class MAPPOCfg:
     entropy_adapt_speed: float = 0.02       # log-space step per train iter
     entropy_coef_min: float = 1e-5
     entropy_coef_max: float = 0.1
+    # Controller shaping (round-4 VERDICT weak #4: the raw integrator is
+    # bang-bang — the coefficient saturates both clip rails even while
+    # entropy itself holds ±0.7 of target).  entropy_deadband freezes
+    # adaptation while |entropy − target| is below it (kills the limit
+    # cycle around the target); entropy_err_clip bounds the per-iter
+    # log-space step so a transient entropy spike cannot slew the
+    # coefficient decades in a few iterations.
+    entropy_deadband: float = 0.2
+    entropy_err_clip: float = 1.0
     # target_kl: once a minibatch's approx KL (k3 estimator,
     # mean(ratio−1−log ratio)) exceeds this, freeze actor+critic updates
     # for the rest of the iteration (PPO early stop, Schulman's spinningup
-    # recipe).  Unsupported with use_inkernel_loss (no KL stat in-kernel).
+    # recipe).  Composes with use_inkernel_loss too: the kernel emits a
+    # _SUM_LOGR column and _update_joint_direct derives the same k3
+    # approx_kl from it.
     target_kl: Optional[float] = None
     # min_log_std: hard floor on the policy's log_std parameter, applied
     # after every optimizer step — the bluntest collapse guard.
@@ -738,13 +749,16 @@ class MAPPOPolicy:
         if cfg.entropy_target is not None:
             # dual ascent on the entropy coefficient: grow when the policy
             # is below the target entropy, shrink above (multiplicative so
-            # the coefficient can traverse decades smoothly)
+            # the coefficient can traverse decades smoothly).  The error
+            # passes a deadband (no adaptation near target) and a clip
+            # (bounded per-iter log step) — see the cfg comment.
+            err = cfg.entropy_target - jnp.mean(infos["entropy"])
+            err = jnp.sign(err) * jnp.maximum(
+                jnp.abs(err) - cfg.entropy_deadband, 0.0
+            )
+            err = jnp.clip(err, -cfg.entropy_err_clip, cfg.entropy_err_clip)
             new_coef = jnp.clip(
-                ts.entropy_coef
-                * jnp.exp(
-                    cfg.entropy_adapt_speed
-                    * (cfg.entropy_target - jnp.mean(infos["entropy"]))
-                ),
+                ts.entropy_coef * jnp.exp(cfg.entropy_adapt_speed * err),
                 cfg.entropy_coef_min,
                 cfg.entropy_coef_max,
             )

@@ -68,15 +68,22 @@ def sample(
     mask flags samples drawn while the buffer held < seq_len rows (the
     reference raises; a static-shape program can't, so it masks)."""
     e = jax.tree_util.tree_leaves(buf.storage)[0].shape[1]
+    cap = buf.capacity
     k_env, k_t = jax.random.split(key)
     env_idx = jax.random.randint(k_env, (batch_size,), 0, e)
     max_start = jnp.maximum(buf.length - seq_len, 0)
     t0 = jax.random.randint(k_t, (batch_size,), 0, jnp.maximum(max_start, 1))
-    rows = t0[:, None] + jnp.arange(seq_len)[None, :]     # [B, S]
+    # chronological → storage coordinates: the oldest valid row sits at
+    # (cursor - length) mod cap, so windows are contiguous in TIME and
+    # never stitch the newest write onto the oldest row across the ring
+    # seam (they may wrap in storage coordinates, which is harmless)
+    oldest = (buf.cursor - buf.length) % cap
+    rows = (oldest + t0[:, None] + jnp.arange(seq_len)[None, :]) % cap  # [B, S]
     batch = jax.tree_util.tree_map(
         lambda s: s[rows, env_idx[:, None]], buf.storage
     )
-    return batch, buf.length >= seq_len
+    valid = jnp.broadcast_to(buf.length >= seq_len, (batch_size,))
+    return batch, valid
 
 
 def size(buf: TrajRingBuffer) -> jnp.ndarray:

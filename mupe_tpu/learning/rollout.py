@@ -11,9 +11,13 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
+
+from ..utils.jit import mupe_jit
 
 from .mappo import MAPPOPolicy, MAPPOState, RolloutBatch, pack_rollout_row
 
@@ -172,7 +176,7 @@ def make_rollout_update_progs(
 
         return rollout_step
 
-    @jax.jit
+    @mupe_jit
     def rollout_prog(carry: IterCarry):
         key, k_roll = jax.random.split(carry.key)
         step_keys = jax.random.split(k_roll, cfg.train_every)
@@ -194,7 +198,7 @@ def make_rollout_update_progs(
         )
         return new_carry, traj, ep_stats
 
-    @jax.jit
+    @functools.partial(mupe_jit, role="update")
     def update_prog(carry: IterCarry, traj):
         key, k_train = jax.random.split(carry.key)
         batch = RolloutBatch(
@@ -287,7 +291,7 @@ def make_rnn_train_iter(env, policy, deterministic: bool = False):
         ).astype(bool)
         return (ts, env_state, tr.obs, new_a, new_c, next_init), collected
 
-    @jax.jit
+    @mupe_jit
     def train_iter(carry: RNNIterCarry):
         key, k_roll, k_train = jax.random.split(carry.key, 3)
         step_keys = jax.random.split(k_roll, cfg.train_every)

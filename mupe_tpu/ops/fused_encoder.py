@@ -874,7 +874,7 @@ def fused_pair_ppo_grads(
     # critic-only bwd at the largest fitting tile (one network's
     # recompute working set allows a bigger tile than the pair's)
     bwd_tile = spec_c.tile if interpret else _PAIR_BWD_TILE
-    sc = dataclasses.replace(spec_c, tile=bwd_tile)
+    sc = dataclasses.replace(spec_c, tile=bwd_tile, tile_fwd=bwd_tile)
     xp2 = _pad_rows(x, sc.pad_tile)
     dvp = _pad_rows(dv[:s], sc.pad_tile)
     _, bwd_c = _build_calls(sc, xp2.shape[0], interpret)
@@ -914,6 +914,12 @@ def _row_spec(tile, dim):
 
 @functools.lru_cache(maxsize=None)
 def _build_calls(spec: EncoderSpec, s_padded: int, interpret: bool):
+    # Trace-time guard: the grid is s_padded // tile — a non-divisible
+    # row count would silently drop the trailing rows from the launch.
+    assert s_padded % spec.fwd_tile == 0 and s_padded % spec.tile == 0, (
+        f"s_padded={s_padded} not divisible by tile={spec.tile}/"
+        f"fwd_tile={spec.fwd_tile}; pad with pad_tile of the SAME spec"
+    )
     n_tiles_fwd = s_padded // spec.fwd_tile
     n_tiles = s_padded // spec.tile
 
@@ -958,6 +964,9 @@ def _build_pair_calls(
     assert spec_a.groups == spec_b.groups and spec_a.tile == spec_b.tile
     tile = spec_a.tile
     ftile = spec_a.fwd_tile
+    assert s_padded % tile == 0 and s_padded % ftile == 0, (
+        f"s_padded={s_padded} not divisible by tile={tile}/fwd_tile={ftile}"
+    )
     n_tiles = s_padded // tile
     n_tiles_fwd = s_padded // ftile
 
@@ -1085,6 +1094,18 @@ _PAIR_BWD_MODE = os.environ.get("MUPE_PAIR_BWD", "split")
 _PAIR_BWD_TILE = int(os.environ.get("MUPE_PAIR_BWD_TILE", "640"))
 
 
+def _split_bwd_spec(spec: EncoderSpec, tile: int = None) -> EncoderSpec:
+    """Spec for one single-network bwd launch of the split pair path.
+
+    BOTH tile and tile_fwd are pinned so pad_tile == tile: the bwd grid
+    is s_padded // tile, and padding to a larger fwd tile (1536) while
+    launching at the bwd tile (640) would silently drop the trailing
+    real rows from the parameter gradients whenever s_padded is not a
+    multiple of lcm(tile, fwd_tile)."""
+    t = _PAIR_BWD_TILE if tile is None else tile
+    return dataclasses.replace(spec, tile=t, tile_fwd=t)
+
+
 def _pair_vjp_bwd(spec_a, spec_b, resids, douts):
     leaves_a, leaves_b, obs_packed = resids
     dout_a, dout_b = douts
@@ -1098,8 +1119,8 @@ def _pair_vjp_bwd(spec_a, spec_b, resids, douts):
         return pba(dout_a)[0], pbb(dout_b)[0], jnp.zeros_like(obs_packed)
     s = obs_packed.shape[0]
     if _PAIR_BWD_MODE == "split":
-        sa = dataclasses.replace(spec_a, tile=_PAIR_BWD_TILE)
-        sb = dataclasses.replace(spec_b, tile=_PAIR_BWD_TILE)
+        sa = _split_bwd_spec(spec_a)
+        sb = _split_bwd_spec(spec_b)
         pad = max(sa.pad_tile, sb.pad_tile)
         x = _pad_rows(obs_packed, pad)
         da = _pad_rows(dout_a.astype(jnp.float32), pad)

@@ -43,6 +43,29 @@ def _coerce(value: str, target_type) -> Any:
     return value
 
 
+def _optional_inner(cls: type, field_name: str):
+    """The non-None member of an Optional[...] field annotation, resolved
+    properly (typing.get_type_hints + get_args) instead of substring
+    sniffing.  Containers (Tuple/List/...) map to `tuple` (the bracketed
+    JSON-literal coercion path); unresolvable annotations return None."""
+    import typing
+
+    try:
+        hint = typing.get_type_hints(cls).get(field_name)
+    except Exception:
+        return None
+    if hint is None:
+        return None
+    non_none = [
+        a for a in typing.get_args(hint) if a is not type(None)
+    ] or [hint]
+    inner = non_none[0]
+    origin = typing.get_origin(inner)
+    if origin in (tuple, list):
+        return tuple
+    return inner if isinstance(inner, type) else None
+
+
 def apply_overrides(cfg: T, overrides: Dict[str, Any]) -> T:
     """Overlay {field: value} onto a frozen dataclass, coercing strings."""
     fields = {f.name: f for f in dataclasses.fields(cfg)}
@@ -57,19 +80,13 @@ def apply_overrides(cfg: T, overrides: Dict[str, Any]) -> T:
             f = fields[k]
             base = f.type if isinstance(f.type, type) else type(getattr(cfg, k))
             # Optional[...] fields defaulting to None leave `base` as
-            # NoneType; recover the intent from the annotation string
-            # (stringified under `from __future__ import annotations`)
+            # NoneType; recover the non-None member by resolving the
+            # (stringified, `from __future__ import annotations`)
+            # annotation with typing.get_type_hints
             if base is type(None) and not isinstance(f.type, type):
-                ann = str(f.type)
-                # container types first: "Tuple[float, float]" contains
-                # "float" but must keep the bracket-literal tuple path
-                for name, t in (
-                    ("Tuple", tuple), ("tuple", tuple), ("List", tuple),
-                    ("float", float), ("int", int), ("bool", bool),
-                ):
-                    if name in ann:
-                        base = t
-                        break
+                inner = _optional_inner(type(cfg), k)
+                if inner is not None:
+                    base = inner
             try:
                 v = _coerce(v, base)
             except (ValueError, json.JSONDecodeError):

@@ -37,7 +37,9 @@ if __name__ == "__main__":
         )
         results[flag] = {
             k: res[k]
-            for k in ("success", "first_capture_step", "collision",
+            for k in ("success", "first_capture_step",
+                      "first_capture_step_p25", "first_capture_step_p50",
+                      "first_capture_step_p75", "episodes", "collision",
                       "target_predicted_error", "detect_reward")
             if k in res
         }

@@ -50,6 +50,7 @@ def main() -> int:
         print("WARNING: not on TPU — this smoke only proves anything on-chip")
 
     from mupe_tpu.learning.mappo import Actor, Critic
+    from mupe_tpu.utils.jit import mupe_jit, tpu_compiler_options
     from mupe_tpu.ops.fused_encoder import (
         EncoderSpec,
         _build_calls,
@@ -72,7 +73,7 @@ def main() -> int:
     }
     spec_a = EncoderSpec(groups=GROUPS, head_dim=4)
     spec_c = EncoderSpec(groups=GROUPS, head_dim=1)
-    print(f"rows={S} tile={spec_a.tile} fwd_tile={spec_a.fwd_tile}")
+    print(f"rows={S} tile={spec_a.tile} fwd_tile={spec_a.fwd_tile} compiler_options={tpu_compiler_options()}")
     actor = Actor(
         action_dim=4, hidden_units=(256,),
         attn_encoder="PartialAttentionEncoder", obs_is_dict=True,
@@ -111,11 +112,11 @@ def main() -> int:
 
     fails = []
     cases = [
-        ("encoder fwd (actor)", jax.jit(fwd_a), (x,) + la),
-        ("encoder bwd (actor)", jax.jit(bwd_a), (x, dout_a) + la),
-        ("pair fwd (actor+critic)", jax.jit(fwd_p), (x, la, lc)),
-        ("pair bwd (actor+critic)", jax.jit(bwd_p), (x, dout_a, dout_c, la, lc)),
-        ("pair fwd+loss+bwd (PPO)", jax.jit(ppo_grads), (x, aux, log_std)),
+        ("encoder fwd (actor)", mupe_jit(fwd_a), (x,) + la),
+        ("encoder bwd (actor)", mupe_jit(bwd_a), (x, dout_a) + la),
+        ("pair fwd (actor+critic)", mupe_jit(fwd_p), (x, la, lc)),
+        ("pair bwd (actor+critic)", mupe_jit(bwd_p), (x, dout_a, dout_c, la, lc)),
+        ("pair fwd+loss+bwd (PPO)", mupe_jit(ppo_grads), (x, aux, log_std)),
     ]
     for name, fn, args in cases:
         try:
@@ -123,6 +124,72 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report every kernel
             fails.append(name)
             print(f"  {name:<28s} FAILED: {type(e).__name__}: {e}")
+
+    # Split pair-bwd row coverage at a row count that is a fwd-tile
+    # multiple but NOT a bwd-tile multiple (49152 = 32*1536, but
+    # 49152/640 = 76.8): the round-4 advisor found the one-field tile
+    # replace kept pad_tile at 1536 while launching the bwd grid at 640,
+    # silently dropping the trailing 512 rows from the parameter
+    # gradients.  Checked by value against the pure-jnp reference vjp.
+    try:
+        from mupe_tpu.ops.fused_encoder import (
+            fused_pair_encoder_head,
+            reference_apply,
+        )
+
+        assert S % spec_a.fwd_tile == 0 and S % 640 != 0, (
+            "smoke shape no longer exercises the bwd-tile remainder"
+        )
+
+        def pair_loss(leaves):
+            oa, oc = fused_pair_encoder_head(
+                spec_a, spec_c, leaves[0], leaves[1], x
+            )
+            return jnp.sum(oa) + jnp.sum(oc)
+
+        def ref_loss(leaves):
+            oa = reference_apply(spec_a, leaves[0], x)
+            oc = reference_apply(spec_c, leaves[1], x)
+            return jnp.sum(oa) + jnp.sum(oc)
+
+        gk = _timed(
+            "split pair-bwd (public vjp)",
+            mupe_jit(jax.grad(pair_loss)), (la, lc),
+        )
+        gr = jax.jit(jax.grad(ref_loss))((la, lc))
+        # the sum() loss makes the HEAD BIAS gradients exactly the row
+        # count — the sharpest row-coverage probe (a launch that drops
+        # the 512-row bwd remainder reports 48640 here, measured before
+        # the fix).  Leaves: actor head bias = last actor leaf, critic
+        # head bias = last critic leaf.
+        for name_b, g in (("actor", gk[0][-1]), ("critic", gk[1][-1])):
+            got = float(jnp.max(jnp.abs(g)))
+            if abs(got - S) > 0.001 * S:
+                fails.append(
+                    f"split pair-bwd row coverage ({name_b} head-bias "
+                    f"grad {got:.0f} != n_rows {S})"
+                )
+        # value agreement per leaf; near-zero reference leaves (layernorm
+        # bias grads that cancel over the batch) get a denominator floor
+        # so precision noise on them doesn't read as a mismatch
+        gmax = max(
+            float(jnp.max(jnp.abs(b)))
+            for b in jax.tree_util.tree_leaves(gr)
+        )
+        worst = 0.0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)
+        ):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-4 * gmax)
+            worst = max(
+                worst, float(jnp.max(jnp.abs(a - b))) / scale
+            )
+        print(f"  split pair-bwd grad rel err vs reference: {worst:.4f}")
+        if worst > 0.05:
+            fails.append("split pair-bwd row coverage (grad mismatch)")
+    except Exception as e:  # noqa: BLE001
+        fails.append("split pair-bwd row coverage")
+        print(f"  split pair-bwd             FAILED: {type(e).__name__}: {e}")
 
     # Pallas FPS (AEG buffer downsampling path)
     try:

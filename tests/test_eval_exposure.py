@@ -31,7 +31,7 @@ def test_eval_spawn_ratio_mixes_fixed_tables():
         num_envs=32, num_agents=3,
         eval_spawn_ratio=1.0, eval_mix_rotate=False,
     )
-    env, (d, q, t, cyl, fb) = _scene(cfg)
+    env, (d, q, t, cyl, fb, _dg) = _scene(cfg)
     tabs_d = np.stack([scenario_spawns(f, 3)[0] for f in EVAL_SCENARIOS])
     tabs_t = np.stack([scenario_spawns(f, 3)[1] for f in EVAL_SCENARIOS])
     d, t = np.asarray(d), np.asarray(t)
@@ -47,7 +47,7 @@ def test_eval_spawn_ratio_rotation_preserves_radii():
         num_envs=64, num_agents=3,
         eval_spawn_ratio=1.0, eval_mix_rotate=True,
     )
-    env, (d, q, t, cyl, fb) = _scene(cfg)
+    env, (d, q, t, cyl, fb, _dg) = _scene(cfg)
     tabs_d = np.stack([scenario_spawns(f, 3)[0] for f in EVAL_SCENARIOS])
     radii = np.linalg.norm(np.asarray(d)[..., :2], axis=-1)  # [E, n]
     tab_radii = np.linalg.norm(tabs_d[..., :2], axis=-1)     # [S, n]
@@ -65,7 +65,7 @@ def test_eval_scenario_ratio_mixes_cylinders_and_spawns():
         num_envs=64, num_agents=3,
         eval_scenario_ratio=1.0, eval_mix_rotate=False,
     )
-    env, (d, q, t, cyl, fb) = _scene(cfg)
+    env, (d, q, t, cyl, fb, _dg) = _scene(cfg)
     from mupe_tpu.envs.scenarios import scenario_cylinders
 
     cyl = np.asarray(cyl)
@@ -88,7 +88,7 @@ def test_partial_ratio_mixes_a_fraction():
         num_envs=256, num_agents=3,
         eval_spawn_ratio=0.25, eval_mix_rotate=False,
     )
-    env, (d, q, t, cyl, fb) = _scene(cfg)
+    env, (d, q, t, cyl, fb, _dg) = _scene(cfg)
     tabs_d = np.stack([scenario_spawns(f, 3)[0] for f in EVAL_SCENARIOS])
     d = np.asarray(d)
     mixed = 0
@@ -164,7 +164,7 @@ def test_eval_mix_scenarios_restriction():
     )
     env = HideAndSeek(cfg)
     assert env._mix_full_scenarios == ("empty",)
-    d, q, t, cyl, fb = env._sample_scene(jax.random.PRNGKey(0))
+    d, q, t, cyl, fb, _dg = env._sample_scene(jax.random.PRNGKey(0))
     # empty layout: every cylinder parked underground
     assert float(jnp.max(np.asarray(cyl)[..., 2])) < 0.0
     import pytest
@@ -176,3 +176,37 @@ def test_eval_mix_scenarios_restriction():
                 eval_mix_scenarios=("nope",),
             )
         )
+
+
+
+def test_eval_jitter_produces_distinct_trials():
+    """Jittered eval (round-4 VERDICT missing #2): with jitter on, the
+    fixed-scenario spawns become per-env DISTINCT (fractional capture
+    rates); with the default jitter 0, the exact deterministic protocol
+    is bit-preserved."""
+    base = dict(
+        num_envs=16, num_agents=3, use_random_cylinder=False,
+        use_eval=True, scenario_flag="wall", max_cylinders=6,
+    )
+    env0 = HideAndSeek(HideAndSeekCfg(**base))
+    d0, q0, t0, *_ = env0._sample_scene(jax.random.PRNGKey(0))
+    # deterministic default: every env identical, zero attitude
+    assert float(jnp.max(jnp.abs(d0 - d0[:1]))) == 0.0
+    assert float(jnp.max(jnp.abs(q0[..., 1:]))) == 0.0  # identity quat
+
+    envj = HideAndSeek(HideAndSeekCfg(
+        **base, eval_jitter_xy=0.05, eval_jitter_z=0.1,
+        eval_jitter_rpy=0.05,
+    ))
+    dj, qj, tj, *_ = envj._sample_scene(jax.random.PRNGKey(0))
+    # per-env distinct spawns, bounded by the jitter amplitudes
+    assert float(jnp.max(jnp.abs(dj - dj[:1]))) > 0.0
+    assert float(jnp.max(jnp.abs(dj - d0))) <= 0.1 + 1e-6
+    assert float(jnp.max(jnp.abs(dj[..., :2] - d0[..., :2]))) <= 0.05 + 1e-6
+    assert float(jnp.max(jnp.abs(tj - t0))) <= 0.1 + 1e-6
+    # attitude jittered but small
+    assert float(jnp.max(jnp.abs(qj[..., 1:]))) > 0.0
+    # the scenario cylinders are untouched by jitter
+    _, _, _, cylj, *_ = envj._sample_scene(jax.random.PRNGKey(0))
+    _, _, _, cyl0, *_ = env0._sample_scene(jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(cylj - cyl0))) == 0.0

@@ -165,12 +165,20 @@ def test_pair_public_entry_pad_grid_interaction(monkeypatch):
         lambda s, sp, interp: orig_single(s, sp, True),
     )
     # the split-bwd production tile (640) assumes TPU VMEM; pin the
-    # interpret-mode bwd to the small test tiles
-    monkeypatch.setattr(fe, "_PAIR_BWD_TILE", 64)
+    # interpret-mode bwd to a small tile that MISMATCHES tile_fwd (48 vs
+    # 64) — the round-4 advisor's high-severity finding was that pinning
+    # only `tile` keeps pad_tile at tile_fwd, so the bwd grid
+    # (s_padded // 48) silently drops trailing rows from the gradients
+    # whenever s_padded is a tile_fwd-multiple but not a 48-multiple.
+    # _split_bwd_spec must pin BOTH so the pad unit equals the launch
+    # tile; with the old one-field replace this test fails via the
+    # _build_calls divisibility assert (96 pads to 128 under the stale
+    # pad_tile=64, and 128 is not a 48-multiple).
+    monkeypatch.setattr(fe, "_PAIR_BWD_TILE", 48)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
-    s = 96  # 3*tile, 1.5*fwd_tile
+    s = 96  # 3*tile, 1.5*fwd_tile, 2*bwd_tile
     obs = {
         "state_self": jax.random.normal(ks[0], (s, 1, 35)),
         "state_others": jax.random.normal(ks[1], (s, 2, 3)),

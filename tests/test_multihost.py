@@ -25,8 +25,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_train():
+    # NOTE: no @pytest.mark.timeout — pytest-timeout is not installed and
+    # the mark is silently ignored (round-4 advisor).  The watchdog is
+    # hand-rolled: communicate() bounds each wait and the finally block
+    # kills the EXACT child PIDs so a hung worker can never outlive the
+    # test or block the suite.
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -39,9 +43,15 @@ def test_two_process_train():
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
 

