@@ -1091,7 +1091,10 @@ def _pair_vjp_fwd(spec_a, spec_b, leaves_a, leaves_b, obs_packed):
 # (pair@512) vs 863.7K (pair@576) env-steps/s.  "pair": ONE kernel
 # recomputing and backpropagating both networks at `tile`.
 _PAIR_BWD_MODE = os.environ.get("MUPE_PAIR_BWD", "split")
-_PAIR_BWD_TILE = int(os.environ.get("MUPE_PAIR_BWD_TILE", "640"))
+# 1024 needs a ~26.5 MB scoped-VMEM stack — admitted by the per-role
+# compiler option (utils/jit.py UPDATE_VMEM_KIB); measured e2e 890K
+# env-steps/s vs 873K @640, 880K @1536, OOM @2048 (r5 sweeps 1-3)
+_PAIR_BWD_TILE = int(os.environ.get("MUPE_PAIR_BWD_TILE", "1024"))
 
 
 def _split_bwd_spec(spec: EncoderSpec, tile: int = None) -> EncoderSpec:

@@ -28,7 +28,7 @@ SCOPED_VMEM_KIB = int(os.environ.get("MUPE_SCOPED_VMEM_KIB", "0"))
 # limit (raising it globally to 64 MB cost ~8% e2e, r5 sweep 1).  So the
 # limit is per-role: update programs get MUPE_VMEM_KIB_UPDATE, everything
 # else the global MUPE_SCOPED_VMEM_KIB (0 = compiler default).
-UPDATE_VMEM_KIB = int(os.environ.get("MUPE_VMEM_KIB_UPDATE", "18432"))
+UPDATE_VMEM_KIB = int(os.environ.get("MUPE_VMEM_KIB_UPDATE", "27648"))
 
 
 def tpu_compiler_options(role: Optional[str] = None) -> Optional[dict]:

@@ -73,7 +73,8 @@ def main() -> int:
     }
     spec_a = EncoderSpec(groups=GROUPS, head_dim=4)
     spec_c = EncoderSpec(groups=GROUPS, head_dim=1)
-    print(f"rows={S} tile={spec_a.tile} fwd_tile={spec_a.fwd_tile} compiler_options={tpu_compiler_options()}")
+    opts = tpu_compiler_options("update")
+    print(f"rows={S} tile={spec_a.tile} fwd_tile={spec_a.fwd_tile} update_compiler_options={opts}")
     actor = Actor(
         action_dim=4, hidden_units=(256,),
         attn_encoder="PartialAttentionEncoder", obs_is_dict=True,
@@ -112,11 +113,11 @@ def main() -> int:
 
     fails = []
     cases = [
-        ("encoder fwd (actor)", mupe_jit(fwd_a), (x,) + la),
-        ("encoder bwd (actor)", mupe_jit(bwd_a), (x, dout_a) + la),
-        ("pair fwd (actor+critic)", mupe_jit(fwd_p), (x, la, lc)),
-        ("pair bwd (actor+critic)", mupe_jit(bwd_p), (x, dout_a, dout_c, la, lc)),
-        ("pair fwd+loss+bwd (PPO)", mupe_jit(ppo_grads), (x, aux, log_std)),
+        ("encoder fwd (actor)", mupe_jit(fwd_a, role="update"), (x,) + la),
+        ("encoder bwd (actor)", mupe_jit(bwd_a, role="update"), (x, dout_a) + la),
+        ("pair fwd (actor+critic)", mupe_jit(fwd_p, role="update"), (x, la, lc)),
+        ("pair bwd (actor+critic)", mupe_jit(bwd_p, role="update"), (x, dout_a, dout_c, la, lc)),
+        ("pair fwd+loss+bwd (PPO)", mupe_jit(ppo_grads, role="update"), (x, aux, log_std)),
     ]
     for name, fn, args in cases:
         try:
@@ -154,7 +155,7 @@ def main() -> int:
 
         gk = _timed(
             "split pair-bwd (public vjp)",
-            mupe_jit(jax.grad(pair_loss)), (la, lc),
+            mupe_jit(jax.grad(pair_loss), role="update"), (la, lc),
         )
         gr = jax.jit(jax.grad(ref_loss))((la, lc))
         # the sum() loss makes the HEAD BIAS gradients exactly the row
