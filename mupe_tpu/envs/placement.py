@@ -236,13 +236,30 @@ def feasible_layout(
     """Per-env task validity (placement.py:54-101 `has_feasible_path` +
     :692-865 validation loop): the target's cell and every drone's cell must
     be free (inside the arena, not under an active cylinder) and connected
-    by 4-neighbor moves through free cells.  Returns bool [...]."""
+    by 4-neighbor moves through free cells.  Returns bool [...].
+
+    Endpoints are radially PROJECTED onto the grid circle before the
+    check: the cell-based circle mask is conservative (inscribed radius
+    ≈ (g//2 − 0.5)·cell), so legal continuous-space positions near the
+    arena rim — notably the reference's fixed eval spawn tables at
+    x≈0.6-0.8 (hideandseek.py:632-682), mixed into training by
+    eval_spawn_ratio — map to "outside" cells and used to fail the check
+    for EVERY cylinder count, forcing ~22% of round-4 exposure resets to
+    empty arenas.  The reference never path-validates its fixed spawns
+    at all, so projecting (which only relaxes the endpoint-cell test,
+    never the cylinder-blockage test) is the faithful semantics."""
     free = ~(
         jnp.asarray(outside_circle_mask(grid.num_grid))
         | active_cylinder_occupancy(cyl_xy, active_mask, grid)
     )
-    start = continuous_to_grid(target_xy[..., 0, :], grid)      # [..., 2]
-    goals = continuous_to_grid(drone_xy, grid)                  # [..., n, 2]
+
+    def project(xy):
+        r = jnp.linalg.norm(xy, axis=-1, keepdims=True)
+        r_in = (grid.num_grid // 2 - 0.55) * grid.grid_size
+        return xy * jnp.minimum(1.0, r_in / jnp.maximum(r, 1e-6))
+
+    start = continuous_to_grid(project(target_xy[..., 0, :]), grid)
+    goals = continuous_to_grid(project(drone_xy), grid)         # [..., n, 2]
     g = grid.num_grid
     # start/goal cells themselves must be free
     occ_flat = (~free).reshape(free.shape[:-2] + (g * g,))

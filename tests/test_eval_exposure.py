@@ -210,3 +210,21 @@ def test_eval_jitter_produces_distinct_trials():
     _, _, _, cylj, *_ = envj._sample_scene(jax.random.PRNGKey(0))
     _, _, _, cyl0, *_ = env0._sample_scene(jax.random.PRNGKey(0))
     assert float(jnp.max(jnp.abs(cylj - cyl0))) == 0.0
+
+
+def test_eval_spawn_mix_keeps_cylinders():
+    """Root cause of round-4's 22% forced-empty arenas: the fixed eval
+    spawn tables sit near the arena rim, whose cells the conservative
+    grid-circle mask calls 'outside', so feasibility failed at EVERY
+    cylinder count and the fallback emptied the scene.  With endpoint
+    projection (placement.feasible_layout), eval-spawn-mixed resets keep
+    their sampled cylinders: fallback ~0, degradation rare."""
+    cfg = HideAndSeekCfg(
+        num_envs=256, num_agents=3, eval_spawn_ratio=1.0,
+        eval_mix_rotate=True, max_cylinders=6,
+    )
+    env = HideAndSeek(cfg)
+    d, q, t, cyl, fb, dg = env._sample_scene(jax.random.PRNGKey(3))
+    assert float(jnp.mean(fb)) < 0.02, float(jnp.mean(fb))
+    active = jnp.sum(np.asarray(cyl)[..., 2] > 0.0, axis=-1)
+    assert float(jnp.mean(active >= cfg.min_cylinders)) > 0.9
