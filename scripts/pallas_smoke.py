@@ -192,6 +192,69 @@ def main() -> int:
         fails.append("split pair-bwd row coverage")
         print(f"  split pair-bwd             FAILED: {type(e).__name__}: {e}")
 
+    # TP-LSTM fused kernel (ops/tp_lstm.py) at the production update
+    # shape (59 windows x 4096 envs) — fwd + vjp-bwd, grads checked
+    # against the padded-jnp reference
+    try:
+        from mupe_tpu.learning.tp_net import TPNet
+        from mupe_tpu.ops.tp_lstm import (
+            TPLSTMSpec,
+            _reference_padded,
+            extract_tp_leaves,
+            _pad_leaves,
+            tp_apply,
+        )
+
+        n_tp, t_tp, f_tp, o_tp = 59 * 4096, 10, 16, 15
+        tp_net = TPNet(output_dim=o_tp, hidden_dim=64, dtype=jnp.bfloat16)
+        x_tp = jax.random.normal(
+            jax.random.PRNGKey(21), (n_tp, t_tp, f_tp)
+        ) * 0.5
+        tp_params = tp_net.init(jax.random.PRNGKey(22), x_tp[:1])
+        tp_spec = TPLSTMSpec(
+            input_dim=f_tp, hidden=64, t_steps=t_tp, out_dim=o_tp
+        )
+        tgt_tp = jax.random.normal(jax.random.PRNGKey(23), (n_tp, o_tp))
+
+        def tp_loss(p):
+            return jnp.mean(
+                jnp.square(tp_apply(tp_spec, p, x_tp) - tgt_tp)
+            )
+
+        _timed("tp_lstm fwd", mupe_jit(
+            lambda p: tp_apply(tp_spec, p, x_tp), role="update"), tp_params)
+        gk = _timed(
+            "tp_lstm fwd+bwd (vjp)",
+            mupe_jit(jax.grad(tp_loss), role="update"), tp_params,
+        )
+        pl_ref = _pad_leaves(tp_spec, extract_tp_leaves(tp_params))
+
+        def tp_loss_ref(lv):
+            return jnp.mean(
+                jnp.square(_reference_padded(tp_spec, lv, x_tp) - tgt_tp)
+            )
+
+        gr_pad = jax.jit(jax.grad(tp_loss_ref))(pl_ref)
+        gk_pad = _pad_leaves(
+            tp_spec, extract_tp_leaves(jax.tree_util.tree_map(lambda a: a, gk))
+        )
+        worst_tp = 0.0
+        gmax_tp = max(
+            float(jnp.max(jnp.abs(b)))
+            for b in jax.tree_util.tree_leaves(gr_pad)
+        )
+        for a, b in zip(gk_pad, gr_pad):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-4 * gmax_tp)
+            worst_tp = max(
+                worst_tp, float(jnp.max(jnp.abs(a - b))) / scale
+            )
+        print(f"  tp_lstm grad rel err vs reference: {worst_tp:.4f}")
+        if worst_tp > 0.05:
+            fails.append("tp_lstm (grad mismatch)")
+    except Exception as e:  # noqa: BLE001
+        fails.append("tp_lstm")
+        print(f"  tp_lstm                    FAILED: {type(e).__name__}: {e}")
+
     # Pallas FPS (AEG buffer downsampling path)
     try:
         from mupe_tpu.ops.fps_pallas import farthest_point_sampling_pallas

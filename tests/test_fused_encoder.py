@@ -364,3 +364,49 @@ def test_custom_vjp_grads_flow_into_flax_tree():
     norms = [float(jnp.linalg.norm(l)) for l in flat]
     # every encoder/head weight receives gradient except log_std (unused)
     assert sum(n > 0 for n in norms) >= len(norms) - 1
+
+
+def test_tp_lstm_kernel_matches_tpnet(monkeypatch):
+    """ops/tp_lstm.py: the fused TP-LSTM kernel (interpret mode) and its
+    padded-jnp reference must both match TPNet.apply, and jax.grad through
+    the custom_vjp must match autodiff through the flax module (the TPU
+    update path swaps TPNet.apply for tp_apply — same math required)."""
+    import mupe_tpu.ops.tp_lstm as tl
+    from mupe_tpu.learning.tp_net import TPNet
+
+    n, t, f, o = 96, 10, 16, 15
+    net = TPNet(output_dim=o, hidden_dim=64, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, t, f)) * 0.5
+    params = net.init(jax.random.PRNGKey(1), x[:1])
+    y_ref = net.apply(params, x)
+
+    spec = tl.TPLSTMSpec(input_dim=f, hidden=64, t_steps=t, out_dim=o, tile=32)
+    # padded-jnp reference path (the CPU fallback)
+    y_pad = tl.tp_apply(spec, params, x)
+    assert float(jnp.max(jnp.abs(y_pad - y_ref))) < 0.03  # bf16 vs f32 math
+
+    # kernel path in interpreter mode
+    monkeypatch.setattr(tl, "_on_tpu", lambda: True)
+    orig = tl._build_tp_calls
+    monkeypatch.setattr(
+        tl, "_build_tp_calls", lambda s, np_, interp: orig(s, np_, True)
+    )
+    y_k = tl.tp_apply(spec, params, x)
+    assert float(jnp.max(jnp.abs(y_k - y_pad))) < 5e-3
+
+    # gradients: kernel vjp vs autodiff through the flax module
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (n, o))
+
+    def loss_k(p):
+        return jnp.mean(jnp.square(tl.tp_apply(spec, p, x) - tgt))
+
+    def loss_ref(p):
+        return jnp.mean(jnp.square(net.apply(p, x) - tgt))
+
+    gk = jax.grad(loss_k)(params)
+    gr = jax.grad(loss_ref)(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)
+    ):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-5
+        assert float(jnp.max(jnp.abs(a - b))) < 0.05 * scale + 1e-5
