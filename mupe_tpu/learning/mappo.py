@@ -940,7 +940,7 @@ class MAPPOPolicy:
             _SUM_MIN12, _SUM_RATIO, _SUM_RATIO2, _SUM_H1, _SUM_H2,
             _SUM_SQERR, _SUM_RET, _SUM_RET2, _SUM_LOGR,
             EncoderSpec, PPOLossCfg, extract_leaves, fused_pair_ppo_grads,
-            pack_obs, rebuild_grads,
+            fused_pair_ppo_grads_fwdloss, pack_obs, rebuild_grads,
         )
         from .modules.networks import entity_group_order
 
@@ -969,7 +969,15 @@ class MAPPOPolicy:
             action_dim=self.action_dim,
             n_rows=s,
         )
-        dla, dls, dlc, sums = fused_pair_ppo_grads(
+        # launch strategy: "fwdloss" (default) = fwd+loss kernel at the
+        # big fwd tile + the standard split bwd launches; "agrad" = the
+        # fwd+loss+actor-bwd combined kernel (tile-capped at 448)
+        grads_fn = (
+            fused_pair_ppo_grads
+            if os.environ.get("MUPE_DIRECT_MODE", "fwdloss") == "agrad"
+            else fused_pair_ppo_grads_fwdloss
+        )
+        dla, dls, dlc, sums = grads_fn(
             spec_a, spec_c, loss_cfg, la, lc, log_std, x,
             mb["action"].reshape(s, self.action_dim),
             mb["logp"].reshape(s, 1),

@@ -245,6 +245,16 @@ def _mm_tn(a, b):
     )
 
 
+def _mm_nt(a, b):
+    """a @ bᵀ (the bwd chains' `grad @ Wᵀ`).
+
+    Implemented as an explicit transpose of the SMALL operand + `_mm`:
+    a dot_general contracting both operands' lane dims looks cleaner but
+    measured 18% SLOWER e2e (927K→764K env-steps/s region) — Mosaic
+    lowers it by relayouting the big row operand, not W."""
+    return _mm(a, b.T)
+
+
 def _gelu_tanh(x):
     # flax nn.gelu(approximate=True)
     c = math.sqrt(2.0 / math.pi)
@@ -294,7 +304,10 @@ def _forward_core(spec: EncoderSpec, x, leaves):
 
     t_rows = x.shape[0]
     n_tok = spec.n_tokens
-    # per-token embeds (small K, one matmul per token)
+    # per-token embeds (small K, one matmul per token; row-stacking a
+    # group's tokens into one [k·T, d] operand is NOT possible — the
+    # lane-slices of x carry different sublane offsets and Mosaic
+    # rejects the row concat with "offset mismatch on non-concat dim")
     xs, es = [], []
     off = 0
     for (k, d), (wg, bg) in zip(spec.groups, gw):
@@ -312,7 +325,11 @@ def _forward_core(spec: EncoderSpec, x, leaves):
     ks_all = (_mm(h_all, wk) + bk).astype(jnp.bfloat16)
     vs_all = (_mm(h_all, wv) + bv).astype(jnp.bfloat16)
     scale = 1.0 / math.sqrt(spec.embed_dim)
-    # -------- per-column softmax over tokens (all [T, 1] / [T, 128])
+    # -------- per-column softmax over tokens (all [T, 1] / [T, 128]).
+    # Lane-stacking the n_tok score columns into one [T, n_tok] array
+    # (fewer, wider VPU ops) measured 17% SLOWER e2e (927K→769K
+    # env-steps/s): each [T,1]→[T,n_tok] lane concat lowers to masked
+    # selects/relayouts that cost more than the narrow op chain saves.
     s_cols = []
     for t in range(n_tok):
         kt = _rows(ks_all, t, t_rows).astype(jnp.float32)
@@ -375,23 +392,23 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
 
     dwh = _mm_tn(res["y2"], dout)
     dbh = _colsum(dout)
-    dy2 = _mm(dout, wh.T)
+    dy2 = _mm_nt(dout, wh)
     dr2, dg2ln, db2ln = _ln_bwd(dy2, res["n2"], res["inv2"], g2)
     dy1 = dr2
     dg2out = dr2
     dw2 = _mm_tn(res["f"], dg2out)
     dbf2 = _colsum(dg2out)
-    df = _mm(dg2out, w2.T)
+    df = _mm_nt(dg2out, w2)
     dpre1 = df * _dgelu_tanh(res["pre1"])
     dw1 = _mm_tn(res["y1"], dpre1)
     dbf1 = _colsum(dpre1)
-    dy1 = dy1 + _mm(dpre1, w1.T)
+    dy1 = dy1 + _mm_nt(dpre1, w1)
     dr1, dg1ln, db1ln = _ln_bwd(dy1, res["n1"], res["inv1"], g1)
     dh0 = dr1
     do = dr1
     dwo = _mm_tn(res["att"], do)
     dbo = _colsum(do)
-    datt = _mm(do, wo.T)
+    datt = _mm_nt(do, wo)
     # attention bwd — per-token [T, 1] columns (see _forward_core layout note)
     a_cols, q = res["a_cols"], res["q"]
     ks_all, vs_all = res["ks_all"], res["vs_all"]
@@ -421,8 +438,8 @@ def _backward_core(spec: EncoderSpec, leaves, res, dout):
     dbk = _colsum(dks_all)
     dwv = _mm_tn(h_all, dvs_all)
     dbv = _colsum(dvs_all)
-    dh_all = _mm(dks_all, wk.T) + _mm(dvs_all, wv.T)
-    dh_tok0 = dh_all[:t_rows] + dh0 + _mm(dq, wq.T)
+    dh_all = _mm_nt(dks_all, wk) + _mm_nt(dvs_all, wv)
+    dh_tok0 = dh_all[:t_rows] + dh0 + _mm_nt(dq, wq)
     dh_all = jnp.concatenate([dh_tok0, dh_all[t_rows:]], axis=0)
     # LN0 (batched over tokens) + per-token embed bwd
     de_all, dg0, db0 = _ln_bwd(
@@ -810,6 +827,75 @@ def _build_pair_loss_agrad_call(
         return outs[0], outs[1], outs[2], outs[3:]
 
     return call
+
+
+def fused_pair_ppo_grads_fwdloss(
+    spec_a: EncoderSpec,
+    spec_c: EncoderSpec,
+    loss: PPOLossCfg,
+    leaves_a,
+    leaves_c,
+    log_std,
+    x,
+    act,
+    logp_old,
+    adv,
+    v_old,
+    ret,
+    interpret: bool = False,
+):
+    """Direct PPO gradients in THREE launches, each at its best tile:
+
+      1. `_pair_fwd_loss_kernel` — fwd of both nets + the whole PPO
+         loss-gradient math (per-row dμ, both dv candidates, stat sums)
+         at the LARGE fwd tile (no residuals live, same working set as
+         the plain pair fwd kernel);
+      2+3. the standard split single-network bwd launches (actor with
+         dout=dμ, critic with dout=dv after the value-branch select) at
+         `_PAIR_BWD_TILE` — identical to the default `_update_joint`
+         path's bwd, so its tile tuning carries over unchanged.
+
+    vs `fused_pair_ppo_grads` (the agrad kernel): the actor IS recomputed
+    in its bwd launch, but no launch is forced down to the agrad
+    compromise tile (448), and the ~60-op XLA loss chain of the default
+    path disappears.  Same return contract as `fused_pair_ppo_grads`."""
+    s = x.shape[0]
+    if not interpret:
+        t = int(os.environ.get("MUPE_FWDLOSS_TILE", "1536"))
+        spec_af = dataclasses.replace(spec_a, tile=t, tile_fwd=t)
+        spec_cf = dataclasses.replace(spec_c, tile=t, tile_fwd=t)
+    else:
+        spec_af, spec_cf = spec_a, spec_c
+    tile = spec_af.pad_tile
+    xp = _pad_rows(x, tile)
+    pads = [
+        _pad_rows(a.astype(jnp.float32), tile)
+        for a in (act, logp_old, adv, v_old, ret)
+    ]
+    fwd_loss = _build_pair_loss_call(
+        spec_af, spec_cf, loss, xp.shape[0], interpret
+    )
+    dmu, dv1, dv2, stats = fwd_loss(
+        xp, *pads, log_std, tuple(leaves_a), tuple(leaves_c)
+    )
+    sums = jnp.sum(stats, axis=0)
+    h1 = sums[_SUM_H1] / loss.n_rows
+    h2 = sums[_SUM_H2] / loss.n_rows
+    dv = jnp.where(h1 >= h2, dv1, dv2)
+    sa = _split_bwd_spec(spec_a, spec_a.tile if interpret else None)
+    sc = _split_bwd_spec(spec_c, spec_c.tile if interpret else None)
+    pad = max(sa.pad_tile, sc.pad_tile)
+    x2 = _pad_rows(x, pad)
+    dmup = _pad_rows(dmu[:s], pad)
+    dvp = _pad_rows(dv[:s], pad)
+    _, bwd_a = _build_calls(sa, x2.shape[0], interpret)
+    _, bwd_c = _build_calls(sc, x2.shape[0], interpret)
+    dla = bwd_a(x2, dmup, *leaves_a)
+    dlc = bwd_c(x2, dvp, *leaves_c)
+    dla = tuple(dl.astype(l.dtype) for dl, l in zip(dla, leaves_a))
+    dlc = tuple(dl.astype(l.dtype) for dl, l in zip(dlc, leaves_c))
+    dlog_std = sums[_SUM_DLS : _SUM_DLS + loss.action_dim]
+    return dla, dlog_std, dlc, sums
 
 
 def fused_pair_ppo_grads(

@@ -62,6 +62,9 @@ def main():
     from mupe_tpu.envs.hideandseek import HideAndSeek, HideAndSeekCfg
     from mupe_tpu.learning import MAPPOCfg, MAPPOPolicy, init_carry
     from mupe_tpu.learning.rollout import make_rollout_update_progs
+    from mupe_tpu.utils.jit import mupe_jit
+    import functools
+    ujit = functools.partial(mupe_jit, role="update")
 
     env_cfg = HideAndSeekCfg(num_envs=NUM_ENVS, max_episode_length=800)
     env = HideAndSeek(env_cfg)
@@ -115,7 +118,7 @@ def main():
 
     n_steps = algo_cfg.ppo_epochs * algo_cfg.num_minibatches
 
-    @jax.jit
+    @ujit
     def scan_joint(ts, packed, key):
         idx = jax.random.randint(key, (n_steps, mb), 0, b)
 
@@ -146,7 +149,7 @@ def main():
     try:
         if "glue" not in SECTIONS:
             raise _SkipSection()
-        @jax.jit
+        @ujit
         def scan_glue(ts, packed, key):
             idx = jax.random.randint(key, (n_steps, mb), 0, b)
 
@@ -164,7 +167,38 @@ def main():
     finally:
         fe.fused_pair_encoder_head = orig_pair
 
-    @jax.jit
+    # ---- optimizer share: same joint scan with a no-op optimizer (the
+    # kernels/gather/loss still run; clip+adam+flatten+global_norm cost
+    # is the delta vs the "scan" section)
+    if "scanopt" in SECTIONS:
+        import optax as _optax
+
+        noop = _optax.GradientTransformation(
+            lambda params: _optax.EmptyState(),
+            lambda updates, state, params=None: (
+                jax.tree_util.tree_map(jnp.zeros_like, updates), state,
+            ),
+        )
+        orig_txs = policy.actor_tx, policy.critic_tx
+        policy.actor_tx = noop
+        policy.critic_tx = noop
+
+        @ujit
+        def scan_noopt(ts, packed, key):
+            idx = jax.random.randint(key, (n_steps, mb), 0, b)
+
+            def body(ts, ix):
+                return policy._update_joint(ts, unpack(packed[ix]))
+
+            ts, infos = jax.lax.scan(body, ts, idx)
+            return infos["policy_loss"][-1]
+
+        t_noopt = timeit(scan_noopt, carry2.ts, packed, jax.random.PRNGKey(1))
+        policy.actor_tx, policy.critic_tx = orig_txs
+        print(f"  {n_steps}x no-opt mb scan {t_noopt*1e3:8.1f} ms "
+              f"({t_noopt/n_steps*1e3:.2f} ms/minibatch)")
+
+    @ujit
     def scan_joint_direct(ts, packed, key):
         idx = jax.random.randint(key, (n_steps, mb), 0, b)
 
@@ -189,7 +223,7 @@ def main():
         tp_gt=batch.get("tp_gt"), tp_done=batch.get("tp_done"),
     )
 
-    @jax.jit
+    @ujit
     def tp_only(ts, rb, key):
         ts2, m = policy._update_tp(ts, rb, key)
         return m["TP_loss"]
@@ -202,7 +236,7 @@ def main():
     if "prep" in SECTIONS:
         from mupe_tpu.learning.gae import compute_gae
 
-        @jax.jit
+        @ujit
         def prep_gae(ts, batch):
             nv = policy.value_op(ts, carry2.obs, None, fused=True)
             values = ts.value_norm.denormalize(batch["value"])
@@ -218,7 +252,7 @@ def main():
         t_prep = timeit(prep_gae, carry2.ts, batch)
         print(f"  GAE+norms+bootstrap{t_prep*1e3:8.1f} ms")
 
-        @jax.jit
+        @ujit
         def prep_pack(batch):
             flat = {
                 "obs": batch["obs"], "action": batch["action"],
@@ -249,7 +283,7 @@ def main():
     mb_obs = jax.tree_util.tree_map(lambda x: x[:mb], flat_obs)
     x, _ = pack_obs(spec_a, mb_obs, names)
 
-    @jax.jit
+    @ujit
     def scan_pair(ap, cp, x):
         la = extract_leaves(spec_a, ap, names)
         lc = extract_leaves(spec_c, cp, names)
@@ -285,7 +319,7 @@ def main():
         da = jnp.ones((xp_const.shape[0], 4), jnp.float32)
         dc = jnp.ones((xp_const.shape[0], 1), jnp.float32)
 
-        @jax.jit
+        @ujit
         def scan_fwd_only(ap, cp, xx):
             la = extract_leaves(spec_a, ap, names)
             lc = extract_leaves(spec_c, cp, names)
@@ -297,7 +331,7 @@ def main():
             out, _ = jax.lax.scan(body, 0.0, None, length=n_steps)
             return out
 
-        @jax.jit
+        @ujit
         def scan_bwd_only(ap, cp, xx):
             la = extract_leaves(spec_a, ap, names)
             lc = extract_leaves(spec_c, cp, names)
