@@ -1101,7 +1101,7 @@ class MAPPOPolicy:
             and jax.default_backend() == "tpu"
         )
         if use_tp_kernel:
-            from ..ops.tp_lstm import TPLSTMSpec, tp_apply
+            from ..ops.tp_lstm import TPLSTMSpec, tp_apply, tp_apply_t
 
             tp_spec = TPLSTMSpec(
                 input_dim=inputs.shape[-1],
@@ -1109,11 +1109,20 @@ class MAPPOPolicy:
                 t_steps=inputs.shape[-2],
                 out_dim=self.tp_net.output_dim,
             )
+            # "t" (default): batch-in-lanes transposed kernels — hidden 64
+            # lives in SUBLANES (granularity 8) so gates slice at their
+            # true offsets and the matmuls run unpadded, ~3.6x fewer MACs
+            # than the lane-padded layout (see ops/tp_lstm.py)
+            tp_kernel_fn = (
+                tp_apply
+                if os.environ.get("MUPE_TP_LAYOUT", "t") == "lanes"
+                else tp_apply_t
+            )
 
         def loss_fn(tp_params):
             flat_in = inputs.reshape((-1,) + inputs.shape[2:])
             if use_tp_kernel:
-                pred = tp_apply(tp_spec, tp_params, flat_in)
+                pred = tp_kernel_fn(tp_spec, tp_params, flat_in)
                 pred = pred.reshape(targets.shape)
             else:
                 pred = self.tp_net.apply(tp_params, flat_in).reshape(

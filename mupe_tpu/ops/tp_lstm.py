@@ -355,3 +355,264 @@ def tp_apply(spec: TPLSTMSpec, params, x):
     leaves = _pad_leaves(spec, extract_tp_leaves(params))
     y = _tp_core(spec, leaves, xf)
     return y.reshape(batch_shape + (spec.out_dim,))
+
+
+# ================================================================ transposed
+# Batch-in-LANES layout: the padded-lane kernels above waste 3.6x the LSTM
+# FLOPs because hidden 64 is half a lane tile (every gate slice must sit at
+# a 128-lane boundary, so all params are lane-padded to 128).  SUBLANE
+# granularity is 8, not 128 — with hidden/gates in sublanes and samples in
+# lanes, gate blocks slice at their true 64-row offsets and the matmuls run
+# at the real [4H, H+F] sizes.  Same math, ~3.6x fewer MACs.
+_TILE_T = int(os.environ.get("MUPE_TP_TILE_T", "512"))
+
+
+def _opad(o: int) -> int:
+    return -(-o // 8) * 8
+
+
+def _fwd_steps_t(spec: TPLSTMSpec, xt, wiT, whT, bT):
+    """Transposed recurrence: xt [T·F, n]; params transposed & unpadded
+    (wiT [4H, F], whT [4H, H], bT [4H, 1]).  Returns per-step gate/state
+    lists of [H, n] ([4H] blocks in (i, f, g, o) row order)."""
+    h_dim, f = spec.hidden, spec.input_dim
+    n = xt.shape[1]
+    h_st = jnp.zeros((h_dim, n), jnp.float32)
+    c_st = jnp.zeros((h_dim, n), jnp.float32)
+    wi_b = wiT.astype(jnp.bfloat16)
+    wh_b = whT.astype(jnp.bfloat16)
+    acts, cs, hs = [], [c_st], [h_st]
+    for t in range(spec.t_steps):
+        xb = xt[t * f : (t + 1) * f, :].astype(jnp.bfloat16)   # [F, n]
+        g_all = (
+            jnp.dot(wi_b, xb, preferred_element_type=jnp.float32)
+            + jnp.dot(
+                wh_b, h_st.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + bT
+        )                                                      # [4H, n]
+        gi = jax.nn.sigmoid(g_all[0 * h_dim : 1 * h_dim])
+        gf = jax.nn.sigmoid(g_all[1 * h_dim : 2 * h_dim])
+        gg = jnp.tanh(g_all[2 * h_dim : 3 * h_dim])
+        go = jax.nn.sigmoid(g_all[3 * h_dim : 4 * h_dim])
+        c_st = gf * c_st + gi * gg
+        h_st = go * jnp.tanh(c_st)
+        acts.append((gi, gf, gg, go))
+        cs.append(c_st)
+        hs.append(h_st)
+    return acts, cs, hs
+
+
+def _head_t(h_last, wfcT, bfcT):
+    """[Opad, n] head (pad rows of wfcT/bfcT are zero → pad outputs 0)."""
+    z = (
+        jnp.dot(
+            wfcT.astype(jnp.bfloat16), h_last.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        + bfcT
+    )
+    return jnp.tanh(z)
+
+
+def _tp_fwd_kernel_t(spec: TPLSTMSpec, x_ref, wiT, whT, bT, wfcT, bfcT, y_ref):
+    xt = x_ref[...].astype(jnp.float32)
+    _, _, hs = _fwd_steps_t(spec, xt, wiT[...], whT[...], bT[...])
+    y_ref[...] = _head_t(hs[-1], wfcT[...], bfcT[...])
+
+
+def _tp_bwd_kernel_t(
+    spec: TPLSTMSpec,
+    x_ref, dy_ref, wi_r, wh_r, b_r, wfc_r, bfc_r,
+    dwi_ref, dwh_ref, db_ref, dwfc_ref, dbfc_ref,
+):
+    h_dim, f = spec.hidden, spec.input_dim
+    xt = x_ref[...].astype(jnp.float32)
+    wiT, whT, bT = wi_r[...], wh_r[...], b_r[...]
+    wfcT, bfcT = wfc_r[...], bfc_r[...]
+    acts, cs, hs = _fwd_steps_t(spec, xt, wiT, whT, bT)
+
+    y = _head_t(hs[-1], wfcT, bfcT)                    # [Opad, n]
+    dy = dy_ref[...].astype(jnp.float32)
+    dz = dy * (1.0 - y * y)
+    dzb = dz.astype(jnp.bfloat16)
+    hb = hs[-1].astype(jnp.bfloat16)
+    dwfc = jax.lax.dot_general(
+        dzb, hb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # [Opad, H]
+    dbfc = jnp.sum(dz, axis=1, keepdims=True)          # [Opad, 1]
+    dh = jax.lax.dot_general(
+        wfcT.astype(jnp.bfloat16), dzb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # [H, n]
+    dc = jnp.zeros_like(dh)
+    dwi = jnp.zeros((4 * h_dim, f), jnp.float32)
+    dwh = jnp.zeros((4 * h_dim, h_dim), jnp.float32)
+    db = jnp.zeros((4 * h_dim, 1), jnp.float32)
+    wh_b = whT.astype(jnp.bfloat16)
+    for t in reversed(range(spec.t_steps)):
+        gi, gf, gg, go = acts[t]
+        c_t, c_prev, h_prev = cs[t + 1], cs[t], hs[t]
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc + dh * go * (1.0 - tc * tc)
+        di = dc * gg
+        dgg = dc * gi
+        df = dc * c_prev
+        dc = dc * gf                                   # carry to t-1
+        dg_all = jnp.concatenate(
+            [
+                di * gi * (1.0 - gi),
+                df * gf * (1.0 - gf),
+                dgg * (1.0 - gg * gg),
+                do * go * (1.0 - go),
+            ],
+            axis=0,
+        )                                              # [4H, n]
+        db = db + jnp.sum(dg_all, axis=1, keepdims=True)
+        dgb = dg_all.astype(jnp.bfloat16)
+        dwh = dwh + jax.lax.dot_general(
+            dgb, h_prev.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xb = xt[t * f : (t + 1) * f, :].astype(jnp.bfloat16)
+        dwi = dwi + jax.lax.dot_general(
+            dgb, xb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh = jax.lax.dot_general(
+            wh_b, dgb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [H, n]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for gr in (dwi_ref, dwh_ref, db_ref, dwfc_ref, dbfc_ref):
+            gr[...] = jnp.zeros(gr.shape, jnp.float32)
+
+    dwi_ref[...] = dwi_ref[...] + dwi
+    dwh_ref[...] = dwh_ref[...] + dwh
+    db_ref[...] = db_ref[...] + db
+    dwfc_ref[...] = dwfc_ref[...] + dwfc
+    dbfc_ref[...] = dbfc_ref[...] + dbfc
+
+
+@functools.lru_cache(maxsize=None)
+def _build_tp_calls_t(spec: TPLSTMSpec, n_padded: int, interpret: bool):
+    tile = _TILE_T if not interpret else max(8, n_padded)
+    assert n_padded % tile == 0, (n_padded, tile)
+    grid = (n_padded // tile,)
+    h_dim, f, t, o = spec.hidden, spec.input_dim, spec.t_steps, spec.out_dim
+    op = _opad(o)
+    x_spec = pl.BlockSpec(
+        (t * f, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    y_spec = pl.BlockSpec((op, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    pshapes = [
+        (4 * h_dim, f), (4 * h_dim, h_dim), (4 * h_dim, 1), (op, h_dim), (op, 1)
+    ]
+    pspecs = [_const_spec(s) for s in pshapes]
+
+    def fwd(xt, *tleaves):
+        return pl.pallas_call(
+            functools.partial(_tp_fwd_kernel_t, spec),
+            grid=grid,
+            in_specs=[x_spec] + pspecs,
+            out_specs=y_spec,
+            out_shape=jax.ShapeDtypeStruct((op, n_padded), jnp.float32),
+            interpret=interpret,
+        )(xt, *tleaves)
+
+    def bwd(xt, dy, *tleaves):
+        return pl.pallas_call(
+            functools.partial(_tp_bwd_kernel_t, spec),
+            grid=grid,
+            in_specs=[x_spec, y_spec] + pspecs,
+            out_specs=pspecs,
+            out_shape=[
+                jax.ShapeDtypeStruct(s, jnp.float32) for s in pshapes
+            ],
+            interpret=interpret,
+        )(xt, dy, *tleaves)
+
+    return fwd, bwd
+
+
+def _pad_lanes(x, tile):
+    n = x.shape[1]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:1] + (pad,), x.dtype)], axis=1
+        )
+    return x
+
+
+def _reference_t(spec: TPLSTMSpec, tleaves, xt):
+    """Transposed-layout golden model in plain jnp (f32)."""
+    wiT, whT, bT, wfcT, bfcT = tleaves
+    _, _, hs = _fwd_steps_t(spec, xt.astype(jnp.float32), wiT, whT, bT)
+    return _head_t(hs[-1], wfcT, bfcT)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tp_core_t(spec: TPLSTMSpec, tleaves, xt):
+    """Transposed LSTM+head forward: xt [T·F, N] → y [Opad, N]."""
+    if not _on_tpu():
+        return _reference_t(spec, tleaves, xt)
+    n = xt.shape[1]
+    xp = _pad_lanes(xt.astype(jnp.float32), _TILE_T)
+    fwd, _ = _build_tp_calls_t(spec, xp.shape[1], False)
+    return fwd(xp, *tleaves)[:, :n]
+
+
+def _tp_t_vjp_fwd(spec, tleaves, xt):
+    return _tp_core_t(spec, tleaves, xt), (tleaves, xt)
+
+
+def _tp_t_vjp_bwd(spec, resids, dy):
+    tleaves, xt = resids
+    if not _on_tpu():
+        _, pullback = jax.vjp(
+            lambda lv: _reference_t(spec, lv, xt), tleaves
+        )
+        return pullback(dy)[0], jnp.zeros_like(xt)
+    xp = _pad_lanes(xt.astype(jnp.float32), _TILE_T)
+    dyp = _pad_lanes(dy.astype(jnp.float32), _TILE_T)
+    _, bwd = _build_tp_calls_t(spec, xp.shape[1], False)
+    grads = bwd(xp, dyp, *tleaves)
+    grads = tuple(g.astype(l.dtype) for g, l in zip(grads, tleaves))
+    return grads, jnp.zeros_like(xt)
+
+
+_tp_core_t.defvjp(_tp_t_vjp_fwd, _tp_t_vjp_bwd)
+
+
+def tp_apply_t(spec: TPLSTMSpec, params, x):
+    """`tp_apply` in the transposed (batch-in-lanes) layout: params (flax
+    tree) + x [..., T, F] → [..., O].  Differentiable wrt params; the
+    entry/exit transposes are XLA ops outside the kernels, so parameter
+    gradients transpose back automatically."""
+    batch_shape = x.shape[:-2]
+    t, f, o = spec.t_steps, spec.input_dim, spec.out_dim
+    op = _opad(o)
+    xf = x.reshape((-1,) + x.shape[-2:])
+    wi, wh, b, wfc, bfc = extract_tp_leaves(params)
+    wfc_t = wfc.T
+    bfc_t = bfc[:, None]
+    if op != o:
+        wfc_t = jnp.concatenate(
+            [wfc_t, jnp.zeros((op - o, spec.hidden), wfc_t.dtype)], axis=0
+        )
+        bfc_t = jnp.concatenate(
+            [bfc_t, jnp.zeros((op - o, 1), bfc_t.dtype)], axis=0
+        )
+    tleaves = (wi.T, wh.T, b[:, None], wfc_t, bfc_t)
+    xt = xf.transpose(1, 2, 0).reshape(t * f, -1)
+    y = _tp_core_t(spec, tleaves, xt)[:o].T            # [N, O]
+    return y.reshape(batch_shape + (spec.out_dim,))

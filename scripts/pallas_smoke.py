@@ -255,6 +255,34 @@ def main() -> int:
         fails.append("tp_lstm")
         print(f"  tp_lstm                    FAILED: {type(e).__name__}: {e}")
 
+    # Transposed (batch-in-lanes) TP-LSTM — the production default
+    # (MUPE_TP_LAYOUT=t): fwd + vjp-bwd, grads vs the padded reference
+    try:
+        from mupe_tpu.ops.tp_lstm import tp_apply_t
+
+        def tp_loss_t(p):
+            return jnp.mean(
+                jnp.square(tp_apply_t(tp_spec, p, x_tp) - tgt_tp)
+            )
+
+        _timed("tp_lstm_t fwd", mupe_jit(
+            lambda p: tp_apply_t(tp_spec, p, x_tp), role="update"), tp_params)
+        gk_t = _timed(
+            "tp_lstm_t fwd+bwd (vjp)",
+            mupe_jit(jax.grad(tp_loss_t), role="update"), tp_params,
+        )
+        gk_t_pad = _pad_leaves(tp_spec, extract_tp_leaves(gk_t))
+        worst_t = 0.0
+        for a, b in zip(gk_t_pad, gr_pad):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-4 * gmax_tp)
+            worst_t = max(worst_t, float(jnp.max(jnp.abs(a - b))) / scale)
+        print(f"  tp_lstm_t grad rel err vs reference: {worst_t:.4f}")
+        if worst_t > 0.05:
+            fails.append("tp_lstm_t (grad mismatch)")
+    except Exception as e:  # noqa: BLE001
+        fails.append("tp_lstm_t")
+        print(f"  tp_lstm_t                  FAILED: {type(e).__name__}: {e}")
+
     # Pallas FPS (AEG buffer downsampling path)
     try:
         from mupe_tpu.ops.fps_pallas import farthest_point_sampling_pallas

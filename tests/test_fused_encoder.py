@@ -410,3 +410,49 @@ def test_tp_lstm_kernel_matches_tpnet(monkeypatch):
     ):
         scale = float(jnp.max(jnp.abs(b))) + 1e-5
         assert float(jnp.max(jnp.abs(a - b))) < 0.05 * scale + 1e-5
+
+
+def test_tp_lstm_transposed_matches_tpnet(monkeypatch):
+    """ops/tp_lstm.py transposed (batch-in-lanes) layout: `tp_apply_t`
+    must match TPNet.apply in value and parameter gradients — it is the
+    default TPU update path (MUPE_TP_LAYOUT=t), where the hidden lives in
+    sublanes so the LSTM matmuls run unpadded."""
+    import mupe_tpu.ops.tp_lstm as tl
+    from mupe_tpu.learning.tp_net import TPNet
+
+    n, t, f, o = 96, 10, 16, 15
+    net = TPNet(output_dim=o, hidden_dim=64, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, t, f)) * 0.5
+    params = net.init(jax.random.PRNGKey(1), x[:1])
+    y_ref = net.apply(params, x)
+
+    spec = tl.TPLSTMSpec(input_dim=f, hidden=64, t_steps=t, out_dim=o)
+    # transposed reference path (the CPU fallback)
+    y_t = tl.tp_apply_t(spec, params, x)
+    assert float(jnp.max(jnp.abs(y_t - y_ref))) < 0.03  # bf16 vs f32 math
+
+    # kernel path in interpreter mode
+    monkeypatch.setattr(tl, "_on_tpu", lambda: True)
+    orig = tl._build_tp_calls_t
+    monkeypatch.setattr(
+        tl, "_build_tp_calls_t", lambda s, np_, interp: orig(s, np_, True)
+    )
+    y_k = tl.tp_apply_t(spec, params, x)
+    assert float(jnp.max(jnp.abs(y_k - y_t))) < 5e-3
+
+    # gradients: kernel vjp vs autodiff through the flax module
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (n, o))
+
+    def loss_k(p):
+        return jnp.mean(jnp.square(tl.tp_apply_t(spec, p, x) - tgt))
+
+    def loss_ref(p):
+        return jnp.mean(jnp.square(net.apply(p, x) - tgt))
+
+    gk = jax.grad(loss_k)(params)
+    gr = jax.grad(loss_ref)(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)
+    ):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-5
+        assert float(jnp.max(jnp.abs(a - b))) < 0.05 * scale + 1e-5
