@@ -48,6 +48,7 @@ def main():
     algo_cfg = MAPPOCfg(
         train_every=TRAIN_EVERY, use_tp_net=True, use_fused_encoder=FUSED,
         use_inkernel_loss=INKERNEL,
+        use_fused_act=os.environ.get("BENCH_FUSED_ACT", "0") == "1",
     )
     policy = MAPPOPolicy(
         algo_cfg,

@@ -364,7 +364,10 @@ def tp_apply(spec: TPLSTMSpec, params, x):
 # granularity is 8, not 128 — with hidden/gates in sublanes and samples in
 # lanes, gate blocks slice at their true 64-row offsets and the matmuls run
 # at the real [4H, H+F] sizes.  Same math, ~3.6x fewer MACs.
-_TILE_T = int(os.environ.get("MUPE_TP_TILE_T", "512"))
+# lane-tile sweep (e2e bench at 4096x64): 512 -> 949.5K, 1024 -> 954.3K,
+# 1536 -> 950.5K env-steps/s; 1024 is the sweet spot under the 27 MB
+# update-program scoped-VMEM limit
+_TILE_T = int(os.environ.get("MUPE_TP_TILE_T", "1024"))
 
 
 def _opad(o: int) -> int:
