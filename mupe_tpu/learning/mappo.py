@@ -34,7 +34,7 @@ from flax import linen as nn
 from flax import struct
 
 from .gae import compute_gae
-from .modules.distributions import DiagGaussianHead, Gaussian
+from .modules.distributions import _LOG_SQRT_2PI, DiagGaussianHead, Gaussian
 from .modules.networks import make_encoder
 from .tp_net import TPNet
 from .valuenorm import ValueNorm1
@@ -498,10 +498,13 @@ class MAPPOPolicy:
         )
 
     def _fused_pair_apply_rows(
-        self, actor_params, critic_params, x, meta: PackMeta, m: int
+        self, actor_params, critic_params, x, meta: PackMeta,
+        m: Optional[int] = None, flat: bool = False,
     ):
         """Pair forward over PRE-PACKED obs rows (cfg.pack_rollout): the
-        minibatch lane slice is already in pack_obs layout, so no concat."""
+        minibatch lane slice is already in pack_obs layout, so no concat.
+        `flat=True` returns the kernels' native ([s, A], [s]) shapes —
+        the lane-dense loss path (_update_joint_flat)."""
         from ..ops.fused_encoder import (
             EncoderSpec,
             extract_leaves,
@@ -515,6 +518,8 @@ class MAPPOPolicy:
         out_a, out_c = fused_pair_encoder_head(
             spec_a, spec_c, leaves_a, leaves_c, x
         )
+        if flat:
+            return out_a, out_c[:, 0]
         lead = (m, meta.n_agents)
         return (
             out_a.reshape(lead + (self.action_dim,)),
@@ -643,24 +648,27 @@ class MAPPOPolicy:
                 m = rows.shape[0]
                 pm = pack_meta
                 return {
-                    # pack_obs layout rows, fed straight to the kernels
+                    # pack_obs layout rows, fed straight to the kernels;
+                    # per-sample fields FLAT [m·n(, A)] — lane-dense, see
+                    # _update_joint_flat (the (m, n, 1) shapes pad 1-4
+                    # lanes to 128 on TPU)
                     "obs_rows": rows[:, : pm.obs_cols].reshape(
                         m * n, pm.obs_dim
                     ),
                     "action": rows[
                         :, pm.off_action : pm.off_action + n * pm.action_dim
-                    ].reshape(m, n, pm.action_dim),
+                    ].reshape(m * n, pm.action_dim),
                     "logp": rows[:, pm.off_logp : pm.off_logp + n].reshape(
-                        m, n, 1
+                        m * n
                     ),
                     "value": rows[:, pm.off_value : pm.off_value + n].reshape(
-                        m, n, 1
+                        m * n
                     ),
                     "advantages": rows[
                         :, pm.off_adv : pm.off_adv + n
-                    ].reshape(m, n, 1),
+                    ].reshape(m * n),
                     "returns": rows[:, pm.off_ret : pm.off_ret + n].reshape(
-                        m, n, 1
+                        m * n
                     ),
                 }
 
@@ -715,6 +723,10 @@ class MAPPOPolicy:
                 if use_joint and cfg.use_inkernel_loss:
                     new_ts, info = self._update_joint_direct(
                         ts, mb, pack_meta=pack_meta
+                    )
+                elif use_joint and pack_meta is not None:
+                    new_ts, info = self._update_joint_flat(
+                        ts, mb, pack_meta
                     )
                 elif use_joint:
                     new_ts, info = self._update_joint(
@@ -901,6 +913,105 @@ class MAPPOPolicy:
         )
         new_critic = optax.apply_updates(ts.critic_params, upd_c)
         w = ratio.reshape(-1)
+        ess = jnp.square(jnp.sum(w)) / (jnp.sum(jnp.square(w)) * w.shape[0])
+        return (
+            ts.replace(
+                actor_params=new_actor,
+                actor_opt=new_opt_a,
+                critic_params=new_critic,
+                critic_opt=new_opt_c,
+            ),
+            {
+                "policy_loss": policy_loss,
+                "actor_grad_norm": optax.global_norm(ga),
+                "entropy": -entropy_loss,
+                "ESS": ess,
+                "value_loss": value_loss,
+                "critic_grad_norm": optax.global_norm(gc),
+                "explained_var": explained_var,
+                "approx_kl": jnp.mean(ratio - 1.0 - jnp.log(ratio)),
+            },
+        )
+
+    # ---------------- joint update, flat lane-dense loss (packed rows)
+    def _update_joint_flat(
+        self, ts: MAPPOState, mb, pack_meta: PackMeta
+    ) -> Tuple[MAPPOState, Dict]:
+        """`_update_joint` for the packed-rollout path with the loss chain
+        on FLAT [s] vectors.  The (m, n, 1)-shaped variant keeps 1-4 real
+        lanes per row, which TPU pads to 128 — every fused elementwise
+        pass over the PPO chain reads ~32x the real bytes (the
+        divide/multiply/convert fusions measured ~8 ms of the iteration
+        at 4096x64).  1-D [s] arrays tile dense.  Identical math and
+        metrics; gradients are identical because the loss is a mean over
+        the same per-sample terms."""
+        import math as _math
+
+        cfg = self.cfg
+
+        def huber(pred, target):
+            return jnp.mean(optax.huber_loss(pred, target, delta=cfg.huber_delta))
+
+        s = mb["logp"].shape[0]
+        act = mb["action"]                       # [s, A]
+        logp_old = mb["logp"]                    # [s]
+        adv = mb["advantages"]                   # [s]
+        b_values = mb["value"]                   # [s]
+        b_returns = mb["returns"]                # [s]
+
+        def loss_fn(params):
+            actor_params, critic_params = params
+            mean, values = self._fused_pair_apply_rows(
+                actor_params, critic_params, mb["obs_rows"], pack_meta,
+                flat=True,
+            )                                    # [s, A], [s]
+            log_std = actor_params["params"]["DiagGaussianHead_0"]["log_std"]
+            # diag-Gaussian log-prob (distributions.Gaussian.log_prob)
+            z = (act - mean) * jnp.exp(-log_std)
+            logp_new = jnp.sum(
+                -0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI, axis=-1
+            )                                    # [s]
+            # state-independent entropy: per-sample value is constant
+            entropy = jnp.sum(log_std) + act.shape[-1] * 0.5 * (
+                1.0 + _math.log(2.0 * _math.pi)
+            )
+            # clamp the log-ratio before exp (see _update_joint)
+            ratio = jnp.exp(jnp.clip(logp_new - logp_old, -20.0, 20.0))
+            surr1 = ratio * adv
+            surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv
+            policy_loss = -jnp.mean(jnp.minimum(surr1, surr2) * self.action_dim)
+            entropy_loss = -entropy
+            clipped = b_values + jnp.clip(
+                values - b_values, -cfg.clip_param, cfg.clip_param
+            )
+            value_loss = jnp.maximum(
+                huber(values, b_returns), huber(clipped, b_returns)
+            )
+            explained_var = 1.0 - jnp.mean(
+                jnp.square(values - b_returns)
+            ) / (jnp.var(b_returns) + 1e-8)
+            total = (
+                policy_loss
+                + entropy_loss * self._entropy_coef(ts)
+                + value_loss
+            )
+            return total, (
+                policy_loss, entropy_loss, ratio, value_loss, explained_var
+            )
+
+        (_, aux), (ga, gc) = jax.value_and_grad(loss_fn, has_aux=True)(
+            (ts.actor_params, ts.critic_params)
+        )
+        policy_loss, entropy_loss, ratio, value_loss, explained_var = aux
+        upd_a, new_opt_a = self.actor_tx.update(ga, ts.actor_opt, ts.actor_params)
+        new_actor = self._apply_log_std_floor(
+            optax.apply_updates(ts.actor_params, upd_a)
+        )
+        upd_c, new_opt_c = self.critic_tx.update(
+            gc, ts.critic_opt, ts.critic_params
+        )
+        new_critic = optax.apply_updates(ts.critic_params, upd_c)
+        w = ratio
         ess = jnp.square(jnp.sum(w)) / (jnp.sum(jnp.square(w)) * w.shape[0])
         return (
             ts.replace(
