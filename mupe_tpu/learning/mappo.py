@@ -595,13 +595,24 @@ class MAPPOPolicy:
     ) -> Tuple[MAPPOState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         t_len, e = batch.reward.shape[:2]
+        n_ag = batch.reward.shape[2]
 
         next_value = self.value_op(ts, batch.last_obs, batch.last_state, fused=True)
-        values = ts.value_norm.denormalize(batch.value)
-        next_value = ts.value_norm.denormalize(next_value)
-
-        reward = batch.reward
-        done = batch.done[..., None, :]  # [T, E, 1, 1] broadcast over agents
+        # GAE/normalization on FLAT [T, E·n] lanes: the [T, E, n, 1]
+        # shapes keep 1 real lane per row (TPU pads to 128), so every
+        # fused pass over the prep chain reads ~2 orders of magnitude
+        # more bytes than the data holds (same pathology as the loss
+        # chain — see _update_joint_flat)
+        values = ts.value_norm.denormalize(
+            batch.value.reshape(t_len, e * n_ag)
+        )
+        next_value = ts.value_norm.denormalize(
+            next_value.reshape(e * n_ag)
+        )
+        reward = batch.reward.reshape(t_len, e * n_ag)
+        done = jnp.broadcast_to(
+            batch.done[:, :, None, 0], (t_len, e, n_ag)
+        ).reshape(t_len, e * n_ag)
         advantages, returns = compute_gae(
             reward, done, values, next_value, cfg.gamma, cfg.gae_lambda
         )
@@ -610,7 +621,7 @@ class MAPPOPolicy:
         if cfg.normalize_advantages:
             advantages = (advantages - adv_mean) / (adv_std + 1e-8)
 
-        value_norm = ts.value_norm.update(returns)
+        value_norm = ts.value_norm.update(returns[..., None])
         returns = value_norm.normalize(returns)
         ts = ts.replace(value_norm=value_norm)
 
@@ -678,8 +689,9 @@ class MAPPOPolicy:
                 "action": batch.action,
                 "logp": batch.logp,
                 "value": batch.value,
-                "advantages": advantages,
-                "returns": returns,
+                # legacy layout expects [T, E, n, 1] leaves
+                "advantages": advantages.reshape(t_len, e, n_ag, 1),
+                "returns": returns.reshape(t_len, e, n_ag, 1),
             }
             if cfg.critic_input == "state":
                 flat["state"] = batch.state
